@@ -1,0 +1,103 @@
+"""Equality-constrained LQR via backward Riccati sweep (`lax.scan`).
+
+This is the factorization core of the HPIPM replacement: HPIPM solves each
+interior-point Newton system with a Riccati-based block factorization over
+the horizon (SURVEY.md §2.2); here that recursion is a `lax.scan` of small
+dense ops, jit-fused end to end, `vmap`-able over scenario batches, with a
+Pallas lane-batched variant in `ops/` for the large-batch hot path.
+
+Solves  min  sum_k 0.5 dx'Q_k dx + q_k'dx + 0.5 du'R_k du + r_k'du
+             + 0.5 dx_N'Q_N dx_N + q_N'dx_N
+        s.t. dx_{k+1} = A_k dx_k + B_k du_k + c_k,   dx_0 given.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mpc_blaster_tpu.qp.data import QPData, QPSolution
+
+
+class RiccatiGains(NamedTuple):
+    K: jnp.ndarray      # (N, nu, nx) feedback
+    k: jnp.ndarray      # (N, nu) feedforward
+    P: jnp.ndarray      # (N+1, nx, nx) value Hessians
+    p: jnp.ndarray      # (N+1, nx) value gradients
+
+
+def riccati_solve(A, B, c, Q, q, R, r, dx0, reg: float = 0.0
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, RiccatiGains]:
+    """Full backward + forward sweep; returns (dx (N+1,nx), du (N,nu), gains)."""
+    nu = B.shape[-1]
+    I_u = jnp.eye(nu, dtype=B.dtype)
+
+    def bwd(carry, inputs):
+        P_next, p_next = carry
+        A_k, B_k, c_k, Q_k, q_k, R_k, r_k = inputs
+        Pc_p = P_next @ c_k + p_next
+        G_x = q_k + A_k.T @ Pc_p
+        G_u = r_k + B_k.T @ Pc_p
+        PA = P_next @ A_k
+        PB = P_next @ B_k
+        H_xx = Q_k + A_k.T @ PA
+        H_uu = R_k + B_k.T @ PB + reg * I_u
+        H_ux = B_k.T @ PA
+        L = jnp.linalg.cholesky(H_uu)
+        K_k = -jax.scipy.linalg.cho_solve((L, True), H_ux)
+        k_k = -jax.scipy.linalg.cho_solve((L, True), G_u)
+        P_k = H_xx + H_ux.T @ K_k
+        P_k = 0.5 * (P_k + P_k.T)
+        p_k = G_x + H_ux.T @ k_k
+        return (P_k, p_k), (K_k, k_k, P_next, p_next)
+
+    (P0, p0), (Ks, ks, P_nexts, p_nexts) = jax.lax.scan(
+        bwd, (Q[-1], q[-1]), (A, B, c, Q[:-1], q[:-1], R, r), reverse=True)
+
+    Ps = jnp.concatenate([P0[None], P_nexts], axis=0)   # (N+1, nx, nx)
+    ps = jnp.concatenate([p0[None], p_nexts], axis=0)   # (N+1, nx)
+
+    # NOTE: the forward scan must emit the *new* carry (dx_next), never the
+    # incoming carry value: emitting the carry input as a ys output triggers
+    # a buffer-aliasing miscompilation under vmap on the XLA CPU backend
+    # (observed with heterogeneous batch=4: the stacked ys of one batch
+    # element violate the scan recursion itself). Emitting dx_next and
+    # prepending dx0 is equivalent and compiles correctly everywhere.
+    def fwd(dx, inputs):
+        A_k, B_k, c_k, K_k, k_k = inputs
+        du = K_k @ dx + k_k
+        dx_next = A_k @ dx + B_k @ du + c_k
+        return dx_next, (dx_next, du)
+
+    _, (dx_tail, dus) = jax.lax.scan(fwd, dx0, (A, B, c, Ks, ks))
+    dx_all = jnp.concatenate([dx0[None], dx_tail], axis=0)
+    return dx_all, dus, RiccatiGains(K=Ks, k=ks, P=Ps, p=ps)
+
+
+def lqr_solve(data: QPData, reg: float = 0.0) -> QPSolution:
+    """Solve the unconstrained (equality-only) OCP QP."""
+    dx, du, gains = riccati_solve(data.A, data.B, data.c, data.Q, data.q,
+                                  data.R, data.r, data.dx0, reg)
+    return QPSolution(dx=dx, du=du)
+
+
+def lqr_kkt_residuals(data: QPData, dx: jnp.ndarray, du: jnp.ndarray):
+    """(stationarity_inf, equality_inf) for the equality-only QP.
+
+    Costates from the value function are not required: we recover lambda via
+    the adjoint recursion  lam_N = Q_N dx_N + q_N,
+    lam_k = Q_k dx_k + q_k + A_k' lam_{k+1}, and check the control row
+    R_k du_k + r_k + B_k' lam_{k+1} = 0.
+    """
+    lam = data.Q[-1] @ dx[-1] + data.q[-1]
+    stat = jnp.zeros((), dx.dtype)
+    for k in range(data.horizon - 1, -1, -1):  # small N; test-only helper
+        stat_u = data.R[k] @ du[k] + data.r[k] + data.B[k].T @ lam
+        stat = jnp.maximum(stat, jnp.max(jnp.abs(stat_u)))
+        lam = data.Q[k] @ dx[k] + data.q[k] + data.A[k].T @ lam
+    eq = jnp.max(jnp.abs(
+        dx[1:] - jnp.einsum("kij,kj->ki", data.A, dx[:-1])
+        - jnp.einsum("kij,kj->ki", data.B, du) - data.c))
+    eq = jnp.maximum(eq, jnp.max(jnp.abs(dx[0] - data.dx0)))
+    return stat, eq
