@@ -1,16 +1,25 @@
-"""Box-constrained OCP-QP via primal-dual interior point + Riccati.
+"""Box-constrained OCP-QP via Mehrotra predictor-corrector IPM + Riccati.
 
 The HPIPM-class solver (`blastermodel.py:274`) rebuilt TPU-first:
 
   - static iteration budget (`ipm_iters`) inside jit — no data-dependent
     loop counts (XLA requirement); converged problems keep iterating on a
     stationary point, which is wasted-but-correct work and batch-friendly;
-  - each iteration solves one equality-constrained Newton system with
-    bound-modified stage Hessians via the `riccati.py` scan;
-  - infeasible-start formulation: slacks are independent variables, so the
-    (possibly bound-violating) warm start from the previous RTI tick is fine;
-  - a single fraction-to-boundary step size for primal and dual variables,
-    computed with masked reductions (jnp.where), never host branches.
+  - per iteration ONE Riccati factorization (matrices) + TWO RHS solves
+    (Mehrotra predictor + corrector) via `riccati.py`'s factor/solve split —
+    the same structure HPIPM uses;
+  - infeasible-start formulation: slacks are independent variables, so a
+    (possibly bound-violating) warm start from a previous RTI tick is fine;
+    slack residuals decay geometrically with the primal step size;
+  - separate primal/dual fraction-to-boundary step sizes, computed with
+    masked reductions (jnp.where), never host branches.
+
+The plain monotone-mu barrier variant diverges on this problem class: the
+BLASTER cost leaves the gimbal chain nearly unpenalized (R_swivel = 1e-5,
+`simulation_blaster.py:27`), so a fixed-mu barrier gradient along that
+near-null direction produces enormous Newton steps. Mehrotra's
+affine-scaling predictor measures how far mu can actually drop and centers
+only that much — exactly the cure (and what HPIPM ships).
 
 Bounds may be +-inf; masked entries contribute nothing to the barrier.
 """
@@ -22,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from mpc_blaster_tpu.qp.data import QPData, QPSolution
-from mpc_blaster_tpu.qp.riccati import riccati_solve
+from mpc_blaster_tpu.qp.riccati import riccati_factorize, riccati_solve_rhs
 
 _BIG = 1e20  # slack value standing in for an infinite bound
 
@@ -30,47 +39,59 @@ _BIG = 1e20  # slack value standing in for an infinite bound
 class _IpmState(NamedTuple):
     dx: jnp.ndarray      # (N+1, nx)
     du: jnp.ndarray      # (N, nu)
-    # slacks/duals for x lower/upper (stages 1..N -> stored (N, nx))
-    s_lx: jnp.ndarray
+    s_lx: jnp.ndarray    # (N, nx)  slacks, states 1..N
     s_ux: jnp.ndarray
     lam_lx: jnp.ndarray
     lam_ux: jnp.ndarray
-    # slacks/duals for u lower/upper (N, nu)
-    s_lu: jnp.ndarray
+    s_lu: jnp.ndarray    # (N, nu)
     s_uu: jnp.ndarray
     lam_lu: jnp.ndarray
     lam_uu: jnp.ndarray
-    mu: jnp.ndarray      # barrier parameter (scalar)
-
-
-def _finite_mask(b):
-    return jnp.isfinite(b)
 
 
 def _init_slack(gap, mask, s_min):
-    """Positive slack init: clamp the true gap away from zero; inf bounds
-    get a huge slack so they never restrict the step."""
     return jnp.where(mask, jnp.maximum(gap, s_min), _BIG)
 
 
 def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                  kappa: float = 0.2, alpha_frac: float = 0.995,
                  reg: float = 1e-9, s_min: float = 1e-3,
+                 mu_min: float = 1e-12,
                  warm_du: jnp.ndarray | None = None) -> QPSolution:
     """Solve the box-constrained OCP QP. Fully jit/vmap-compatible.
 
     warm_du: optional (N, nu) control warm start (RTI shift), used to seed
     the primal trajectory by rolling out the dynamics.
     """
+    del kappa  # superseded by Mehrotra sigma; kept for config compat
     N, nx, nu = data.horizon, data.nx, data.nu
     dtype = data.A.dtype
 
-    mask_lx = _finite_mask(data.lbx[1:])
-    mask_ux = _finite_mask(data.ubx[1:])
-    mask_lu = _finite_mask(data.lbu)
-    mask_uu = _finite_mask(data.ubu)
+    # dtype-aware numerical floors: f32 (the TPU compute dtype) cannot
+    # resolve complementarity products below ~1e-7 against O(1e3) cost
+    # weights; driving mu lower produces garbage dual steps and NaNs in the
+    # Riccati Cholesky (SURVEY.md §7 "Conditioning in f32").
+    if jnp.finfo(dtype).bits <= 32:
+        mu_min = max(mu_min, 1e-7)
+        reg = max(reg, 1e-6)
+        sigma_max = 1e7   # cap barrier curvature so chol(H_uu) stays PD
+        lam_max = 1e7
+    else:
+        sigma_max = 1e14
+        lam_max = 1e14
 
-    # ----- initial primal point: dynamics-consistent rollout -----
+    mask_lx = jnp.isfinite(data.lbx[1:])
+    mask_ux = jnp.isfinite(data.ubx[1:])
+    mask_lu = jnp.isfinite(data.lbu)
+    mask_uu = jnp.isfinite(data.ubu)
+
+    # ----- initial primal point -----
+    # Roll out the dynamics, then clamp states/controls strictly inside the
+    # box (stage 0 stays pinned). The resulting dynamics residual is carried
+    # as the Riccati affine term and decays by (1 - alpha) per iteration
+    # (full infeasible-start IPM). Starting *inside* the box instead of with
+    # clamped slacks avoids many iterations of thrashing when the rollout
+    # violates bounds badly (e.g. cold starts far from the reference).
     du0 = jnp.zeros((N, nu), dtype) if warm_du is None else warm_du
 
     def roll(dx, inp):
@@ -78,132 +99,227 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
         nxt = A_k @ dx + B_k @ du_k + c_k
         return nxt, nxt
     _, dx_tail = jax.lax.scan(roll, data.dx0, (data.A, data.B, data.c, du0))
+
+    def clamp_into(v, lb, ub, mask_l, mask_u):
+        # Generous 10%-of-width inset: starting *well* inside the box keeps
+        # the initial slacks O(width), so the centered duals mu0/s stay
+        # moderate and the first Newton systems are not barrier-dominated.
+        width = jnp.where(mask_l & mask_u, ub - lb, 1.0)
+        inset = 0.1 * width
+        lo = jnp.where(mask_l, lb + inset, -_BIG)
+        hi = jnp.where(mask_u, ub - inset, _BIG)
+        return jnp.clip(v, lo, jnp.maximum(hi, lo))
+
+    dx_tail = clamp_into(dx_tail, data.lbx[1:], data.ubx[1:],
+                         mask_lx, mask_ux)
+    du0 = clamp_into(du0, data.lbu, data.ubu, mask_lu, mask_uu)
     dx0_traj = jnp.concatenate([data.dx0[None], dx_tail], axis=0)
 
+    # Centered start: s from the actual gap (clamped positive), lam = mu0/s
+    # so s*lam = mu0 elementwise.
+    s_lx = _init_slack(dx0_traj[1:] - data.lbx[1:], mask_lx, s_min)
+    s_ux = _init_slack(data.ubx[1:] - dx0_traj[1:], mask_ux, s_min)
+    s_lu = _init_slack(du0 - data.lbu, mask_lu, s_min)
+    s_uu = _init_slack(data.ubu - du0, mask_uu, s_min)
     state = _IpmState(
         dx=dx0_traj, du=du0,
-        s_lx=_init_slack(dx0_traj[1:] - data.lbx[1:], mask_lx, s_min),
-        s_ux=_init_slack(data.ubx[1:] - dx0_traj[1:], mask_ux, s_min),
-        lam_lx=jnp.where(mask_lx, mu0 / s_min, 0.0).astype(dtype),
-        lam_ux=jnp.where(mask_ux, mu0 / s_min, 0.0).astype(dtype),
-        s_lu=_init_slack(du0 - data.lbu, mask_lu, s_min),
-        s_uu=_init_slack(data.ubu - du0, mask_uu, s_min),
-        lam_lu=jnp.where(mask_lu, mu0 / s_min, 0.0).astype(dtype),
-        lam_uu=jnp.where(mask_uu, mu0 / s_min, 0.0).astype(dtype),
-        mu=jnp.asarray(mu0, dtype),
+        s_lx=s_lx, s_ux=s_ux,
+        lam_lx=jnp.where(mask_lx, mu0 / s_lx, 0.0).astype(dtype),
+        lam_ux=jnp.where(mask_ux, mu0 / s_ux, 0.0).astype(dtype),
+        s_lu=s_lu, s_uu=s_uu,
+        lam_lu=jnp.where(mask_lu, mu0 / s_lu, 0.0).astype(dtype),
+        lam_uu=jnp.where(mask_uu, mu0 / s_uu, 0.0).astype(dtype),
     )
 
     n_ineq = (jnp.sum(mask_lx) + jnp.sum(mask_ux)
               + jnp.sum(mask_lu) + jnp.sum(mask_uu)).astype(dtype)
     n_ineq = jnp.maximum(n_ineq, 1.0)
+    eye_x = jnp.eye(nx, dtype=dtype)
+    eye_u = jnp.eye(nu, dtype=dtype)
+    dx0_zero = jnp.zeros(nx, dtype)
+
+    def comp_sum(st):
+        return (jnp.sum(jnp.where(mask_lx, st.s_lx * st.lam_lx, 0.0))
+                + jnp.sum(jnp.where(mask_ux, st.s_ux * st.lam_ux, 0.0))
+                + jnp.sum(jnp.where(mask_lu, st.s_lu * st.lam_lu, 0.0))
+                + jnp.sum(jnp.where(mask_uu, st.s_uu * st.lam_uu, 0.0)))
+
+    def max_step(v, dv, mask, tau):
+        ratio = jnp.where(mask & (dv < 0),
+                          -tau * v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        return jnp.min(ratio)
 
     def iteration(state: _IpmState, _):
-        mu = state.mu
+        mu_cur = comp_sum(state) / n_ineq
 
-        # Bound residuals (infeasible-start): r_s = s - (z - l) etc.
+        # Bound residuals (infeasible-start): r_s = s - gap.
         r_slx = jnp.where(mask_lx, state.s_lx - (state.dx[1:] - data.lbx[1:]), 0.0)
         r_sux = jnp.where(mask_ux, state.s_ux - (data.ubx[1:] - state.dx[1:]), 0.0)
         r_slu = jnp.where(mask_lu, state.s_lu - (state.du - data.lbu), 0.0)
         r_suu = jnp.where(mask_uu, state.s_uu - (data.ubu - state.du), 0.0)
 
-        # Diagonal Hessian modification sigma = lam_l/s_l + lam_u/s_u.
+        # Diagonal Hessian modification and factorization (once per iter).
         sig_x = jnp.where(mask_lx, state.lam_lx / state.s_lx, 0.0) \
-            + jnp.where(mask_ux, state.lam_ux / state.s_ux, 0.0)     # (N, nx)
+            + jnp.where(mask_ux, state.lam_ux / state.s_ux, 0.0)
         sig_u = jnp.where(mask_lu, state.lam_lu / state.s_lu, 0.0) \
-            + jnp.where(mask_uu, state.lam_uu / state.s_uu, 0.0)     # (N, nu)
-
-        # Modified gradients: gbar = Hz + g - mu/s_l - (lam_l/s_l) r_sl
-        #                              + mu/s_u + (lam_u/s_u) r_su
-        gx_full = jnp.einsum("kij,kj->ki", data.Q, state.dx) + data.q  # (N+1, nx)
-        gu_full = jnp.einsum("kij,kj->ki", data.R, state.du) + data.r  # (N, nu)
-
-        bar_x = (- jnp.where(mask_lx, mu / state.s_lx, 0.0)
-                 - jnp.where(mask_lx, state.lam_lx / state.s_lx, 0.0) * r_slx
-                 + jnp.where(mask_ux, mu / state.s_ux, 0.0)
-                 + jnp.where(mask_ux, state.lam_ux / state.s_ux, 0.0) * r_sux)
-        bar_u = (- jnp.where(mask_lu, mu / state.s_lu, 0.0)
-                 - jnp.where(mask_lu, state.lam_lu / state.s_lu, 0.0) * r_slu
-                 + jnp.where(mask_uu, mu / state.s_uu, 0.0)
-                 + jnp.where(mask_uu, state.lam_uu / state.s_uu, 0.0) * r_suu)
-
-        # Newton system in (Ddx, Ddu) — iterates stay dynamics-feasible, so
-        # the equality residual is zero and the Riccati affine term is 0.
-        eye_x = jnp.eye(nx, dtype=dtype)
+            + jnp.where(mask_uu, state.lam_uu / state.s_uu, 0.0)
+        sig_x = jnp.minimum(sig_x, sigma_max)
+        sig_u = jnp.minimum(sig_u, sigma_max)
         Qmod = data.Q.at[1:].add(sig_x[:, :, None] * eye_x[None])
-        qmod = gx_full.at[1:].add(bar_x)
-        eye_u = jnp.eye(nu, dtype=dtype)
         Rmod = data.R + sig_u[:, :, None] * eye_u[None]
-        rmod = gu_full + bar_u
+        fac = riccati_factorize(data.A, data.B, Qmod, Rmod, reg)
 
-        zeros_c = jnp.zeros_like(data.c)
-        d_dx, d_du, _ = riccati_solve(
-            data.A, data.B, zeros_c, Qmod, qmod, Rmod, rmod,
-            jnp.zeros(nx, dtype), reg)
+        gx_full = jnp.einsum("kij,kj->ki", data.Q, state.dx) + data.q
+        gu_full = jnp.einsum("kij,kj->ki", data.R, state.du) + data.r
 
-        # Slack directions.
-        d_slx = jnp.where(mask_lx, d_dx[1:] - r_slx, 0.0)
-        d_sux = jnp.where(mask_ux, -d_dx[1:] - r_sux, 0.0)
-        d_slu = jnp.where(mask_lu, d_du - r_slu, 0.0)
-        d_suu = jnp.where(mask_uu, -d_du - r_suu, 0.0)
+        # Dynamics residual of the current iterate (nonzero after clamped
+        # init; decays by (1 - alpha) per step).
+        r_eq = (data.c
+                + jnp.einsum("kij,kj->ki", data.A, state.dx[:-1])
+                + jnp.einsum("kij,kj->ki", data.B, state.du)
+                - state.dx[1:])
 
-        # Dual directions: Dlam = (mu - S lam)/s - (lam/s) Ds.
-        def dlam(lam, s, ds, mask):
-            return jnp.where(mask, (mu - s * lam) / s - (lam / s) * ds, 0.0)
-        d_llx = dlam(state.lam_lx, state.s_lx, d_slx, mask_lx)
-        d_lux = dlam(state.lam_ux, state.s_ux, d_sux, mask_ux)
-        d_llu = dlam(state.lam_lu, state.s_lu, d_slu, mask_lu)
-        d_luu = dlam(state.lam_uu, state.s_uu, d_suu, mask_uu)
+        def rhs_grads(T_lx, T_ux, T_lu, T_uu):
+            """gbar given per-constraint complementarity targets T."""
+            bx = (- jnp.where(mask_lx, T_lx / state.s_lx, 0.0)
+                  - jnp.where(mask_lx, state.lam_lx / state.s_lx, 0.0) * r_slx
+                  + jnp.where(mask_ux, T_ux / state.s_ux, 0.0)
+                  + jnp.where(mask_ux, state.lam_ux / state.s_ux, 0.0) * r_sux)
+            bu = (- jnp.where(mask_lu, T_lu / state.s_lu, 0.0)
+                  - jnp.where(mask_lu, state.lam_lu / state.s_lu, 0.0) * r_slu
+                  + jnp.where(mask_uu, T_uu / state.s_uu, 0.0)
+                  + jnp.where(mask_uu, state.lam_uu / state.s_uu, 0.0) * r_suu)
+            q_rhs = gx_full.at[1:].add(bx)
+            r_rhs = gu_full + bu
+            return q_rhs, r_rhs
 
-        # Fraction-to-boundary step size (single alpha, HPIPM-style).
-        def max_step(v, dv, mask):
-            ratio = jnp.where(mask & (dv < 0), -v / jnp.where(dv < 0, dv, -1.0),
-                              jnp.inf)
-            return jnp.min(ratio)
-        alpha = jnp.minimum(1.0, alpha_frac * jnp.minimum(
-            jnp.minimum(
-                jnp.minimum(max_step(state.s_lx, d_slx, mask_lx),
-                            max_step(state.s_ux, d_sux, mask_ux)),
-                jnp.minimum(max_step(state.s_lu, d_slu, mask_lu),
-                            max_step(state.s_uu, d_suu, mask_uu))),
-            jnp.minimum(
-                jnp.minimum(max_step(state.lam_lx, d_llx, mask_lx),
-                            max_step(state.lam_ux, d_lux, mask_ux)),
-                jnp.minimum(max_step(state.lam_lu, d_llu, mask_lu),
-                            max_step(state.lam_uu, d_luu, mask_uu)))))
-        alpha = alpha.astype(dtype)
+        def directions(q_rhs, r_rhs, T_lx, T_ux, T_lu, T_uu):
+            d_dx, d_du = riccati_solve_rhs(fac, data.A, data.B, r_eq,
+                                           q_rhs, r_rhs, dx0_zero)
+            d_slx = jnp.where(mask_lx, d_dx[1:] - r_slx, 0.0)
+            d_sux = jnp.where(mask_ux, -d_dx[1:] - r_sux, 0.0)
+            d_slu = jnp.where(mask_lu, d_du - r_slu, 0.0)
+            d_suu = jnp.where(mask_uu, -d_du - r_suu, 0.0)
+
+            def dl(lam, s, ds, T, mask):
+                return jnp.where(
+                    mask, (T - s * lam - lam * ds) / s, 0.0)
+            d_llx = dl(state.lam_lx, state.s_lx, d_slx, T_lx, mask_lx)
+            d_lux = dl(state.lam_ux, state.s_ux, d_sux, T_ux, mask_ux)
+            d_llu = dl(state.lam_lu, state.s_lu, d_slu, T_lu, mask_lu)
+            d_luu = dl(state.lam_uu, state.s_uu, d_suu, T_uu, mask_uu)
+            return (d_dx, d_du, d_slx, d_sux, d_slu, d_suu,
+                    d_llx, d_lux, d_llu, d_luu)
+
+        def alphas(dirs, tau):
+            (_, _, d_slx, d_sux, d_slu, d_suu,
+             d_llx, d_lux, d_llu, d_luu) = dirs
+            a_p = jnp.minimum(
+                jnp.minimum(max_step(state.s_lx, d_slx, mask_lx, tau),
+                            max_step(state.s_ux, d_sux, mask_ux, tau)),
+                jnp.minimum(max_step(state.s_lu, d_slu, mask_lu, tau),
+                            max_step(state.s_uu, d_suu, mask_uu, tau)))
+            a_d = jnp.minimum(
+                jnp.minimum(max_step(state.lam_lx, d_llx, mask_lx, tau),
+                            max_step(state.lam_ux, d_lux, mask_ux, tau)),
+                jnp.minimum(max_step(state.lam_lu, d_llu, mask_lu, tau),
+                            max_step(state.lam_uu, d_luu, mask_uu, tau)))
+            return jnp.minimum(1.0, a_p), jnp.minimum(1.0, a_d)
+
+        # ---- predictor (affine scaling, target 0) ----
+        zs_x = jnp.zeros_like(r_slx)
+        zs_u = jnp.zeros_like(r_slu)
+        q_aff, r_aff = rhs_grads(zs_x, zs_x, zs_u, zs_u)
+        aff = directions(q_aff, r_aff, zs_x, zs_x, zs_u, zs_u)
+        a_p_aff, a_d_aff = alphas(aff, 1.0)
+        (_, _, a_slx, a_sux, a_slu, a_suu,
+         a_llx, a_lux, a_llu, a_luu) = aff
+        mu_aff = (
+            jnp.sum(jnp.where(mask_lx, (state.s_lx + a_p_aff * a_slx)
+                              * (state.lam_lx + a_d_aff * a_llx), 0.0))
+            + jnp.sum(jnp.where(mask_ux, (state.s_ux + a_p_aff * a_sux)
+                                * (state.lam_ux + a_d_aff * a_lux), 0.0))
+            + jnp.sum(jnp.where(mask_lu, (state.s_lu + a_p_aff * a_slu)
+                                * (state.lam_lu + a_d_aff * a_llu), 0.0))
+            + jnp.sum(jnp.where(mask_uu, (state.s_uu + a_p_aff * a_suu)
+                                * (state.lam_uu + a_d_aff * a_luu), 0.0))
+        ) / n_ineq
+
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu_cur, mu_min)) ** 3, 0.0, 1.0)
+        mu_t = jnp.maximum(sigma * mu_cur, mu_min)
+
+        # ---- corrector (centering + second-order correction) ----
+        # Gondzio-style safeguard: clip each per-constraint complementarity
+        # target mu_t - ds_aff*dlam_aff into [0.05 mu_t, 20 mu_t]. Near a
+        # weakly-active bound the raw correction term ~1/s blows up and
+        # destabilizes iterations *past* convergence; clipping makes the
+        # solved point a fixpoint of further iterations.
+        def target(ds, dl_):
+            return jnp.clip(mu_t - ds * dl_, 0.05 * mu_t, 20.0 * mu_t)
+        T_lx = jnp.where(mask_lx, target(a_slx, a_llx), 0.0)
+        T_ux = jnp.where(mask_ux, target(a_sux, a_lux), 0.0)
+        T_lu = jnp.where(mask_lu, target(a_slu, a_llu), 0.0)
+        T_uu = jnp.where(mask_uu, target(a_suu, a_luu), 0.0)
+        q_cor, r_cor = rhs_grads(T_lx, T_ux, T_lu, T_uu)
+        dirs = directions(q_cor, r_cor, T_lx, T_ux, T_lu, T_uu)
+        a_p, a_d = alphas(dirs, alpha_frac)
+        (d_dx, d_du, d_slx, d_sux, d_slu, d_suu,
+         d_llx, d_lux, d_llu, d_luu) = dirs
+
+        eps_s = jnp.asarray(1e-9 if jnp.finfo(dtype).bits <= 32 else 1e-16,
+                            dtype)
+
+        def upd_s(s, ds, mask):
+            return jnp.where(mask, jnp.maximum(s + a_p * ds, eps_s), _BIG)
+
+        def upd_l(lam, dl):
+            return jnp.clip(lam + a_d * dl, 0.0, lam_max)
 
         new = _IpmState(
-            dx=state.dx + alpha * d_dx,
-            du=state.du + alpha * d_du,
-            s_lx=jnp.where(mask_lx, state.s_lx + alpha * d_slx, _BIG),
-            s_ux=jnp.where(mask_ux, state.s_ux + alpha * d_sux, _BIG),
-            lam_lx=state.lam_lx + alpha * d_llx,
-            lam_ux=state.lam_ux + alpha * d_lux,
-            s_lu=jnp.where(mask_lu, state.s_lu + alpha * d_slu, _BIG),
-            s_uu=jnp.where(mask_uu, state.s_uu + alpha * d_suu, _BIG),
-            lam_lu=state.lam_lu + alpha * d_llu,
-            lam_uu=state.lam_uu + alpha * d_luu,
-            mu=mu,
+            dx=state.dx + a_p * d_dx,
+            du=state.du + a_p * d_du,
+            s_lx=upd_s(state.s_lx, d_slx, mask_lx),
+            s_ux=upd_s(state.s_ux, d_sux, mask_ux),
+            lam_lx=upd_l(state.lam_lx, d_llx),
+            lam_ux=upd_l(state.lam_ux, d_lux),
+            s_lu=upd_s(state.s_lu, d_slu, mask_lu),
+            s_uu=upd_s(state.s_uu, d_suu, mask_uu),
+            lam_lu=upd_l(state.lam_lu, d_llu),
+            lam_uu=upd_l(state.lam_uu, d_luu),
         )
+        return new, (a_p, a_d)
 
-        # Barrier update from measured complementarity.
-        comp = (jnp.sum(jnp.where(mask_lx, new.s_lx * new.lam_lx, 0.0))
-                + jnp.sum(jnp.where(mask_ux, new.s_ux * new.lam_ux, 0.0))
-                + jnp.sum(jnp.where(mask_lu, new.s_lu * new.lam_lu, 0.0))
-                + jnp.sum(jnp.where(mask_uu, new.s_uu * new.lam_uu, 0.0)))
-        mu_meas = comp / n_ineq
-        new = new._replace(mu=jnp.minimum(mu, kappa * mu_meas))
-        return new, alpha
+    def merit(st: _IpmState):
+        """KKT merit for best-iterate selection: stationarity + equality +
+        complementarity, all -> 0 at the solution."""
+        kkt_stat, kkt_eq = _kkt_residuals(data, st, mask_lx, mask_ux,
+                                          mask_lu, mask_uu)
+        return kkt_stat + kkt_eq + comp_sum(st) / n_ineq, kkt_stat, kkt_eq
 
-    state, alphas = jax.lax.scan(iteration, state, None, length=iters)
+    # Interior-point iterations are not a contraction once converged:
+    # weakly-active bounds (s ~ 0 with lam ~ 0) destabilize later iterations.
+    # With a static iteration budget we therefore track the best iterate by
+    # KKT merit and return THAT, making extra iterations harmless.
+    def step_and_select(carry, _):
+        state, best, best_m = carry
+        state, _aux = iteration(state, None)
+        m, _, _ = merit(state)
+        better = m < best_m
+        best = jax.tree.map(
+            lambda n, b: jnp.where(better, n, b), state, best)
+        best_m = jnp.where(better, m, best_m)
+        return (state, best, best_m), None
 
-    kkt_stat, kkt_eq = _kkt_residuals(data, state, mask_lx, mask_ux,
-                                      mask_lu, mask_uu)
+    m0, _, _ = merit(state)
+    (_, best, _), _ = jax.lax.scan(step_and_select, (state, state, m0),
+                                   None, length=iters)
+
+    _, kkt_stat, kkt_eq = merit(best)
     return QPSolution(
-        dx=state.dx, du=state.du,
-        lam_lx=state.lam_lx, lam_ux=state.lam_ux,
-        lam_lu=state.lam_lu, lam_uu=state.lam_uu,
-        mu=state.mu, kkt_stat=kkt_stat, kkt_eq=kkt_eq,
+        dx=best.dx, du=best.du,
+        lam_lx=best.lam_lx, lam_ux=best.lam_ux,
+        lam_lu=best.lam_lu, lam_uu=best.lam_uu,
+        mu=comp_sum(best) / n_ineq, kkt_stat=kkt_stat, kkt_eq=kkt_eq,
         iters=jnp.asarray(iters),
     )
 
@@ -224,8 +340,6 @@ def _kkt_residuals(data: QPData, st: _IpmState, mask_lx, mask_ux,
         lam_k = Q_k @ dx_k + q_k + A_k.T @ lam_next - lxb
         return lam_k, jnp.max(jnp.abs(stat_u))
 
-    # Stage-k state stationarity for k=1..N-1 uses lam_x_bnd[k-1] (bounds are
-    # stored for stages 1..N); stage 0 state is pinned (no stationarity row).
     lxb_for_stage = jnp.concatenate(
         [jnp.zeros((1,) + lam_x_bnd.shape[1:], lam_x_bnd.dtype),
          lam_x_bnd[:-1]], axis=0)

@@ -6,6 +6,12 @@ the horizon (SURVEY.md §2.2); here that recursion is a `lax.scan` of small
 dense ops, jit-fused end to end, `vmap`-able over scenario batches, with a
 Pallas lane-batched variant in `ops/` for the large-batch hot path.
 
+Split into a *factor* pass (matrices only: feedback gains K, Cholesky
+factors of H_uu, value Hessians P) and a *solve* pass (vectors only:
+feedforwards from gradients + affine defects). The interior-point method
+factors once per iteration and solves twice (Mehrotra predictor+corrector)
+— exactly the split HPIPM exploits.
+
 Solves  min  sum_k 0.5 dx'Q_k dx + q_k'dx + 0.5 du'R_k du + r_k'du
              + 0.5 dx_N'Q_N dx_N + q_N'dx_N
         s.t. dx_{k+1} = A_k dx_k + B_k du_k + c_k,   dx_0 given.
@@ -20,43 +26,49 @@ import jax.numpy as jnp
 from mpc_blaster_tpu.qp.data import QPData, QPSolution
 
 
-class RiccatiGains(NamedTuple):
-    K: jnp.ndarray      # (N, nu, nx) feedback
-    k: jnp.ndarray      # (N, nu) feedforward
-    P: jnp.ndarray      # (N+1, nx, nx) value Hessians
-    p: jnp.ndarray      # (N+1, nx) value gradients
+class RiccatiFactor(NamedTuple):
+    K: jnp.ndarray   # (N, nu, nx) feedback gains
+    L: jnp.ndarray   # (N, nu, nu) Cholesky factors of H_uu (lower)
+    P: jnp.ndarray   # (N+1, nx, nx) value Hessians
 
 
-def riccati_solve(A, B, c, Q, q, R, r, dx0, reg: float = 0.0
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray, RiccatiGains]:
-    """Full backward + forward sweep; returns (dx (N+1,nx), du (N,nu), gains)."""
+def riccati_factorize(A, B, Q, R, reg: float = 0.0) -> RiccatiFactor:
+    """Matrix-only backward pass: P_k, K_k, chol(H_uu)_k."""
     nu = B.shape[-1]
     I_u = jnp.eye(nu, dtype=B.dtype)
 
-    def bwd(carry, inputs):
-        P_next, p_next = carry
-        A_k, B_k, c_k, Q_k, q_k, R_k, r_k = inputs
-        Pc_p = P_next @ c_k + p_next
-        G_x = q_k + A_k.T @ Pc_p
-        G_u = r_k + B_k.T @ Pc_p
+    def bwd(P_next, inputs):
+        A_k, B_k, Q_k, R_k = inputs
         PA = P_next @ A_k
         PB = P_next @ B_k
-        H_xx = Q_k + A_k.T @ PA
         H_uu = R_k + B_k.T @ PB + reg * I_u
         H_ux = B_k.T @ PA
         L = jnp.linalg.cholesky(H_uu)
         K_k = -jax.scipy.linalg.cho_solve((L, True), H_ux)
-        k_k = -jax.scipy.linalg.cho_solve((L, True), G_u)
-        P_k = H_xx + H_ux.T @ K_k
+        P_k = Q_k + A_k.T @ PA + H_ux.T @ K_k
         P_k = 0.5 * (P_k + P_k.T)
-        p_k = G_x + H_ux.T @ k_k
-        return (P_k, p_k), (K_k, k_k, P_next, p_next)
+        return P_k, (K_k, L, P_next)
 
-    (P0, p0), (Ks, ks, P_nexts, p_nexts) = jax.lax.scan(
-        bwd, (Q[-1], q[-1]), (A, B, c, Q[:-1], q[:-1], R, r), reverse=True)
+    P0, (Ks, Ls, P_nexts) = jax.lax.scan(
+        bwd, Q[-1], (A, B, Q[:-1], R), reverse=True)
+    Ps = jnp.concatenate([P0[None], P_nexts], axis=0)
+    return RiccatiFactor(K=Ks, L=Ls, P=Ps)
 
-    Ps = jnp.concatenate([P0[None], P_nexts], axis=0)   # (N+1, nx, nx)
-    ps = jnp.concatenate([p0[None], p_nexts], axis=0)   # (N+1, nx)
+
+def riccati_solve_rhs(fac: RiccatiFactor, A, B, c, q, r, dx0
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vector-only backward + forward pass for a given RHS (q, r, c, dx0)."""
+    def bwd(p_next, inputs):
+        A_k, B_k, c_k, q_k, r_k, K_k, L_k, P_next = inputs
+        Pc_p = P_next @ c_k + p_next
+        G_u = r_k + B_k.T @ Pc_p
+        k_k = -jax.scipy.linalg.cho_solve((L_k, True), G_u)
+        p_k = q_k + A_k.T @ Pc_p + K_k.T @ G_u
+        return p_k, k_k
+
+    _, ks = jax.lax.scan(
+        bwd, q[-1], (A, B, c, q[:-1], r, fac.K, fac.L, fac.P[1:]),
+        reverse=True)
 
     # NOTE: the forward scan must emit the *new* carry (dx_next), never the
     # incoming carry value: emitting the carry input as a ys output triggers
@@ -70,25 +82,32 @@ def riccati_solve(A, B, c, Q, q, R, r, dx0, reg: float = 0.0
         dx_next = A_k @ dx + B_k @ du + c_k
         return dx_next, (dx_next, du)
 
-    _, (dx_tail, dus) = jax.lax.scan(fwd, dx0, (A, B, c, Ks, ks))
+    _, (dx_tail, dus) = jax.lax.scan(fwd, dx0, (A, B, c, fac.K, ks))
     dx_all = jnp.concatenate([dx0[None], dx_tail], axis=0)
-    return dx_all, dus, RiccatiGains(K=Ks, k=ks, P=Ps, p=ps)
+    return dx_all, dus
+
+
+def riccati_solve(A, B, c, Q, q, R, r, dx0, reg: float = 0.0
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, RiccatiFactor]:
+    """Full solve: factorize + RHS. Returns (dx (N+1,nx), du (N,nu), factor)."""
+    fac = riccati_factorize(A, B, Q, R, reg)
+    dx, du = riccati_solve_rhs(fac, A, B, c, q, r, dx0)
+    return dx, du, fac
 
 
 def lqr_solve(data: QPData, reg: float = 0.0) -> QPSolution:
     """Solve the unconstrained (equality-only) OCP QP."""
-    dx, du, gains = riccati_solve(data.A, data.B, data.c, data.Q, data.q,
-                                  data.R, data.r, data.dx0, reg)
+    dx, du, _ = riccati_solve(data.A, data.B, data.c, data.Q, data.q,
+                              data.R, data.r, data.dx0, reg)
     return QPSolution(dx=dx, du=du)
 
 
 def lqr_kkt_residuals(data: QPData, dx: jnp.ndarray, du: jnp.ndarray):
     """(stationarity_inf, equality_inf) for the equality-only QP.
 
-    Costates from the value function are not required: we recover lambda via
-    the adjoint recursion  lam_N = Q_N dx_N + q_N,
-    lam_k = Q_k dx_k + q_k + A_k' lam_{k+1}, and check the control row
-    R_k du_k + r_k + B_k' lam_{k+1} = 0.
+    Costates are recovered by the adjoint recursion lam_N = Q_N dx_N + q_N,
+    lam_k = Q_k dx_k + q_k + A_k' lam_{k+1}; the nontrivial stationarity
+    rows are the control rows R_k du_k + r_k + B_k' lam_{k+1} = 0.
     """
     lam = data.Q[-1] @ dx[-1] + data.q[-1]
     stat = jnp.zeros((), dx.dtype)

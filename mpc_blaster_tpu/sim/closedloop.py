@@ -1,0 +1,97 @@
+"""Closed-loop NMPC simulation, fully on-device.
+
+The reference's offline sim (`simulation_blaster.py:56-107`) runs a Python
+for-loop making ~2+2N ctypes calls into C per tick (SURVEY.md §1). Here the
+whole Nsim-tick rollout is ONE `lax.scan` inside jit: controller tick (RTI)
+and plant step stay on device; nothing crosses the host boundary until the
+trajectories come back at the end.
+
+The plant is the same RK4 model (perfect-model simulation, exactly like the
+reference using a second AcadosSimSolver of the same ODE,
+`simulation_blaster.py:94-104`), with its own stage parameters: the sim
+entry point sets the integrator's T_blast to 2.2*9.81
+(`simulation_blaster.py:82-84`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mpc_blaster_tpu import config as cfg
+from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+from mpc_blaster_tpu.ocp.spec import OCPSpec, build_spec
+from mpc_blaster_tpu.sqp.rti import (
+    RTIState,
+    init_rti_state,
+    rti_step,
+)
+
+
+class ClosedLoopResult(NamedTuple):
+    xs: jnp.ndarray        # (Nsim+1, nx) simX analog (`simulation_blaster.py:44`)
+    us: jnp.ndarray        # (Nsim, nu)   simU analog
+    costs: jnp.ndarray     # (Nsim,) controller objective per tick
+    kkt_stat: jnp.ndarray  # (Nsim,)
+    kkt_eq: jnp.ndarray    # (Nsim,)
+
+
+def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
+                n_steps: int, plant_params: Optional[jnp.ndarray] = None,
+                dtype=jnp.float32, plant_substeps: int = 1,
+                rti0: Optional[RTIState] = None) -> ClosedLoopResult:
+    """Run `n_steps` control ticks from x0. jit-compiled end to end."""
+    params = BlasterParams.from_config(ocp.model, dtype)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    F_plant = discrete_dynamics(blaster_ode, ocp.dt, num_steps=plant_substeps)
+    solver = ocp.solver
+    x0 = jnp.asarray(x0, dtype)
+    if plant_params is None:
+        # `simulation_blaster.py:82-84`: plant uses the controller's stage-0
+        # parameters but with T_blast pinned to 2.2*9.81.
+        plant_params = spec.stage_params[0].at[-1].set(2.2 * 9.81)
+    plant_params = jnp.asarray(plant_params, dtype)
+    if rti0 is None:
+        rti0 = init_rti_state(ocp, x0, dtype)
+
+    from mpc_blaster_tpu.ocp.spec import total_cost
+
+    def tick(carry, _):
+        state, x = carry
+        u0, state_new, diag = rti_step(spec, state, x, params, F, solver)
+        x_next = F_plant(x, u0, plant_params, params)
+        cost = total_cost(spec, state_new.xbar, state_new.ubar)
+        out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
+        return (state_new, x_next), out
+
+    (_, _), (xs, us, costs, stat, eq) = jax.lax.scan(
+        tick, (rti0, x0), None, length=n_steps)
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    return ClosedLoopResult(xs=xs, us=us, costs=costs, kkt_stat=stat,
+                            kkt_eq=eq)
+
+
+def make_closed_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
+                     plant_substeps: int = 1):
+    """jit-compiled closed-loop runner with static config."""
+    fn = partial(closed_loop, ocp=ocp, n_steps=n_steps, dtype=dtype,
+                 plant_substeps=plant_substeps)
+
+    @jax.jit
+    def run(spec: OCPSpec, x0: jnp.ndarray):
+        return fn(spec, x0=x0)
+
+    return run
+
+
+def run_preset(preset: cfg.Preset, n_steps: Optional[int] = None,
+               dtype=jnp.float32, stage_params=None) -> ClosedLoopResult:
+    """Convenience entry: reproduce a reference entry point end to end."""
+    n = n_steps if n_steps is not None else preset.loop.n_steps
+    spec = build_spec(preset.ocp, yref=preset.loop.yref,
+                      stage_params=stage_params, dtype=dtype)
+    run = make_closed_loop(preset.ocp, n, dtype=dtype)
+    return run(spec, jnp.asarray(preset.loop.x0, dtype))

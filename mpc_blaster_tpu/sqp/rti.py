@@ -1,0 +1,160 @@
+"""Gauss-Newton SQP-RTI: one linearize -> QP -> update per control tick.
+
+The reference delegates this to acados' `nlp_solver_type='SQP_RTI'`
+(`blastermodel.py:278`): per tick, ERK-linearize each shooting node, build
+the Gauss-Newton QP, solve with HPIPM, take a full step
+(`nlp_solver_step_length=1.0`, JSON). Here the whole tick is ONE jitted
+function — linearization (vmapped jacfwd over nodes), QP (Riccati IPM), and
+update fuse into a single XLA executable with no host round-trips, which is
+what makes >=kHz solve rates possible on TPU (SURVEY.md §7).
+
+Multi-iteration SQP (the reference's `SQP` mode with up to
+`nlp_solver_max_iter=100`) is `sqp_solve`: a lax.scan of RTI iterations at a
+fixed initial state.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mpc_blaster_tpu import config as cfg
+from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+from mpc_blaster_tpu.ocp.spec import OCPSpec
+from mpc_blaster_tpu.qp.data import QPData
+from mpc_blaster_tpu.qp.ipm import box_qp_solve
+
+
+class RTIState(NamedTuple):
+    """Warm-start iterate carried between ticks (acados keeps its internal
+    iterate between `solve()` calls the same way)."""
+
+    xbar: jnp.ndarray  # (N+1, nx)
+    ubar: jnp.ndarray  # (N, nu)
+
+
+class RTIDiagnostics(NamedTuple):
+    """Per-solve stats (the reference ignores solver status,
+    `simulation_blaster.py:80`; we surface it, SURVEY.md §5)."""
+
+    qp_kkt_stat: jnp.ndarray
+    qp_kkt_eq: jnp.ndarray
+    qp_mu: jnp.ndarray
+    step_norm_x: jnp.ndarray
+    step_norm_u: jnp.ndarray
+
+
+def init_rti_state(ocp: cfg.OCPConfig, x0, dtype=jnp.float32) -> RTIState:
+    """Constant-state, hover-thrust initial trajectory."""
+    x0 = jnp.asarray(x0, dtype)
+    N = ocp.N
+    hover = ocp.model.mass * ocp.model.gravity / 4.0
+    u_hover = jnp.zeros(cfg.NU, dtype).at[0:4].set(hover)
+    u_hover = jnp.clip(u_hover, jnp.asarray(ocp.bounds.lbu, dtype),
+                       jnp.asarray(ocp.bounds.ubu, dtype))
+    return RTIState(xbar=jnp.tile(x0[None], (N + 1, 1)),
+                    ubar=jnp.tile(u_hover[None], (N, 1)))
+
+
+def _linearize_nodes(F, xbar, ubar, stage_params, params):
+    """Vectorized (x_next, A, B) across all shooting nodes — one jacfwd over
+    the whole stacked horizon replaces acados' per-node sensitivity ERK."""
+    def FAB(x, u, p):
+        xn = F(x, u, p, params)
+        A, B = jax.jacfwd(F, argnums=(0, 1))(x, u, p, params)
+        return xn, A, B
+    return jax.vmap(FAB)(xbar[:-1], ubar, stage_params)
+
+
+def build_qp(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
+             F, params: BlasterParams) -> QPData:
+    """Linearize dynamics + cost around the iterate -> delta-form QP."""
+    xbar, ubar = state.xbar, state.ubar
+    x_pred, A, B = _linearize_nodes(F, xbar, ubar, spec.stage_params, params)
+    c = x_pred - xbar[1:]                       # shooting defects
+
+    dtw = spec.dt
+    Qs = jnp.concatenate([
+        jnp.tile((dtw * spec.Q)[None], (spec.horizon, 1, 1)),
+        spec.Q_t[None]], axis=0)
+    q_stage = dtw * (xbar[:-1] - spec.yref_x) @ spec.Q.T
+    q_term = ((xbar[-1] - spec.yref_e) @ spec.Q_t.T)[None]
+    qs = jnp.concatenate([q_stage, q_term], axis=0)
+    Rs = jnp.tile((dtw * spec.R)[None], (spec.horizon, 1, 1))
+    rs = dtw * (ubar - spec.yref_u) @ spec.R.T
+
+    return QPData(
+        A=A, B=B, c=c, Q=Qs, q=qs, R=Rs, r=rs,
+        lbx=spec.lbx[None] - xbar, ubx=spec.ubx[None] - xbar,
+        lbu=spec.lbu[None] - ubar, ubu=spec.ubu[None] - ubar,
+        dx0=x0 - xbar[0],
+    )
+
+
+def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
+             params: BlasterParams, F, solver: cfg.SolverConfig
+             ) -> Tuple[jnp.ndarray, RTIState, RTIDiagnostics]:
+    """One real-time iteration. Returns (u0, updated iterate, diagnostics)."""
+    qp = build_qp(spec, state, x0, F, params)
+    sol = box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
+                       kappa=solver.ipm_kappa,
+                       alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg)
+    new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
+    diag = RTIDiagnostics(
+        qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
+        step_norm_x=jnp.max(jnp.abs(sol.dx)),
+        step_norm_u=jnp.max(jnp.abs(sol.du)),
+    )
+    return new_state.ubar[0], new_state, diag
+
+
+def shift_state(state: RTIState) -> RTIState:
+    """Shift the iterate one stage forward (classic RTI warm start)."""
+    return RTIState(
+        xbar=jnp.concatenate([state.xbar[1:], state.xbar[-1:]], axis=0),
+        ubar=jnp.concatenate([state.ubar[1:], state.ubar[-1:]], axis=0),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class RTIController:
+    """Bundles static config + jitted step for convenient host-side use."""
+
+    ocp: cfg.OCPConfig
+    dtype: object = jnp.float32
+    num_steps: int = 1  # integrator substeps per shooting node (acados: 1)
+
+    def make(self):
+        return make_rti_step(self.ocp, dtype=self.dtype,
+                             num_steps=self.num_steps)
+
+
+def make_rti_step(ocp: cfg.OCPConfig, dtype=jnp.float32, num_steps: int = 1,
+                  jit: bool = True):
+    """Build `step(spec, state, x0) -> (u0, state, diag)` closed over statics."""
+    params = BlasterParams.from_config(ocp.model, dtype)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=num_steps)
+    solver = ocp.solver
+
+    def step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray):
+        return rti_step(spec, state, x0, params, F, solver)
+
+    return jax.jit(step) if jit else step
+
+
+def sqp_solve(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
+              params: BlasterParams, F, solver: cfg.SolverConfig,
+              iters: int = 10):
+    """Multi-iteration SQP at fixed x0 (acados `SQP` mode semantics:
+    `nlp_solver_max_iter` full Gauss-Newton steps, `blastermodel.py` JSON).
+    Returns the converged iterate + per-iteration step norms."""
+    def body(st, _):
+        _, st_new, diag = rti_step(spec, st, x0, params, F, solver)
+        return st_new, diag.step_norm_u
+
+    state, step_norms = jax.lax.scan(body, state, None, length=iters)
+    return state, step_norms
