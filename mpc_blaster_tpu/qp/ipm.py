@@ -92,7 +92,9 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     # (full infeasible-start IPM). Starting *inside* the box instead of with
     # clamped slacks avoids many iterations of thrashing when the rollout
     # violates bounds badly (e.g. cold starts far from the reference).
-    du0 = jnp.zeros((N, nu), dtype) if warm_du is None else warm_du
+    # data.r * 0 rather than jnp.zeros: keeps the seed "varying" under
+    # shard_map so downstream scan carries type-check.
+    du0 = data.r * 0 if warm_du is None else warm_du
 
     def roll(dx, inp):
         A_k, B_k, c_k, du_k = inp
@@ -136,7 +138,9 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     n_ineq = jnp.maximum(n_ineq, 1.0)
     eye_x = jnp.eye(nx, dtype=dtype)
     eye_u = jnp.eye(nu, dtype=dtype)
-    dx0_zero = jnp.zeros(nx, dtype)
+    # Derived from varying data (not a fresh constant) so that shard_map's
+    # varying-axis typing accepts it as a scan carry seed.
+    dx0_zero = data.dx0 * 0
 
     def comp_sum(st):
         return (jnp.sum(jnp.where(mask_lx, st.s_lx * st.lam_lx, 0.0))

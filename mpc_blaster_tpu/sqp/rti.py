@@ -56,6 +56,9 @@ def init_rti_state(ocp: cfg.OCPConfig, x0, dtype=jnp.float32) -> RTIState:
     u_hover = jnp.zeros(cfg.NU, dtype).at[0:4].set(hover)
     u_hover = jnp.clip(u_hover, jnp.asarray(ocp.bounds.lbu, dtype),
                        jnp.asarray(ocp.bounds.ubu, dtype))
+    # + 0*x0[:NU] ties ubar to x0 so shard_map varying-axis typing treats
+    # the whole warm-start state as sharded data, not a broadcast constant.
+    u_hover = u_hover + 0.0 * x0[: cfg.NU]
     return RTIState(xbar=jnp.tile(x0[None], (N + 1, 1)),
                     ubar=jnp.tile(u_hover[None], (N, 1)))
 
