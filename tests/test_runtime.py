@@ -1,0 +1,107 @@
+"""Native C++ runtime: QP solver parity vs JAX IPM, rate loop, ring buffer."""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_blaster_tpu.qp.data import qp_objective
+from mpc_blaster_tpu.qp.ipm import box_qp_solve
+from mpc_blaster_tpu.runtime.bindings import (
+    NativeQPSolver,
+    PoseRingBuffer,
+    RateLoop,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native toolchain unavailable")
+
+
+def _random_qp(N=8, nx=5, nu=3, seed=0, bound_scale=2.0):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_qp import random_qp
+    return random_qp(N=N, nx=nx, nu=nu, seed=seed, bound_scale=bound_scale)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_native_qp_matches_jax_ipm(seed):
+    data = _random_qp(seed=seed)
+    jax_sol = box_qp_solve(data, iters=15)
+    native = NativeQPSolver(iters=15)
+    dx, du, stats = native.solve(data)
+    assert stats["status"] == 0
+    # both converge to the same (unique) optimum of the strictly convex QP
+    assert stats["kkt_stat"] < 1e-7, stats
+    assert stats["kkt_eq"] < 1e-9, stats
+    np.testing.assert_allclose(du, np.asarray(jax_sol.du), atol=5e-6)
+    np.testing.assert_allclose(dx, np.asarray(jax_sol.dx), atol=5e-6)
+    obj_native = float(qp_objective(data, jnp.asarray(dx), jnp.asarray(du)))
+    obj_jax = float(qp_objective(data, jax_sol.dx, jax_sol.du))
+    assert obj_native == pytest.approx(obj_jax, rel=1e-8, abs=1e-8)
+
+
+def test_native_qp_on_blaster_rti_qp():
+    """Differential test on a real linearized BLASTER QP (not random data)."""
+    from mpc_blaster_tpu import config as cfg
+    from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+    from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+    from mpc_blaster_tpu.ocp.spec import build_spec
+    from mpc_blaster_tpu.sqp.rti import build_qp, init_rti_state
+
+    preset = cfg.simulation_preset()
+    ocp = preset.ocp
+    x0 = np.zeros(cfg.NX); x0[2] = 3.2
+    spec = build_spec(ocp, yref=np.asarray(preset.loop.yref),
+                      dtype=jnp.float64)
+    params = BlasterParams.from_config(ocp.model, jnp.float64)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    st = init_rti_state(ocp, jnp.asarray(x0), jnp.float64)
+    qp = build_qp(spec, st, jnp.asarray(x0), F, params)
+
+    jax_sol = box_qp_solve(qp, iters=12)
+    dx, du, stats = NativeQPSolver(iters=12).solve(qp)
+    assert stats["status"] == 0
+    # same thrust decision to control tolerance
+    np.testing.assert_allclose(du[0], np.asarray(jax_sol.du[0]), atol=1e-3)
+    assert stats["kkt_stat"] < 1e-4
+
+
+def test_native_qp_realtime_latency():
+    """The CPU path must fit the reference's 33 ms real-time budget."""
+    data = _random_qp(N=20, nx=17, nu=6, seed=7, bound_scale=5.0)
+    native = NativeQPSolver(iters=10)
+    native.solve(data)  # warm
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        native.solve(data)
+    per_solve_ms = (time.perf_counter() - t0) / reps * 1e3
+    assert per_solve_ms < 33.3, f"native QP too slow: {per_solve_ms:.1f} ms"
+
+
+def test_rate_loop_ticks_and_stats():
+    rl = RateLoop(200.0)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        rl.sleep()
+    elapsed = time.perf_counter() - t0
+    assert 0.08 < elapsed < 0.5  # ~20 * 5 ms
+    s = rl.stats()
+    assert s["ticks"] == 20
+    assert s["deadline_misses"] <= 20
+
+
+def test_pose_ring_latest_and_drain():
+    ring = PoseRingBuffer(capacity=8)
+    assert ring.latest() is None
+    for i in range(12):  # overflow the ring
+        ring.push(float(i), [i, 0, 0], [1, 0, 0, 0])
+    latest = ring.latest()
+    assert latest is not None and latest[0] == 11.0
+    drained = ring.drain(max_records=16)
+    # capacity 8: the oldest 4 were overwritten
+    assert len(drained) == 8
+    assert drained[0][0] == 4.0 and drained[-1][0] == 11.0
