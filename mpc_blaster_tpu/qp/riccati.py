@@ -24,16 +24,22 @@ import jax
 import jax.numpy as jnp
 
 from mpc_blaster_tpu.qp.data import QPData, QPSolution
+from mpc_blaster_tpu.qp.smallalg import chol_inverse
 
 
 class RiccatiFactor(NamedTuple):
-    K: jnp.ndarray   # (N, nu, nx) feedback gains
-    L: jnp.ndarray   # (N, nu, nu) Cholesky factors of H_uu (lower)
-    P: jnp.ndarray   # (N+1, nx, nx) value Hessians
+    K: jnp.ndarray      # (N, nu, nx) feedback gains
+    Hinv: jnp.ndarray   # (N, nu, nu) inverses of H_uu
+    P: jnp.ndarray      # (N+1, nx, nx) value Hessians
 
 
 def riccati_factorize(A, B, Q, R, reg: float = 0.0) -> RiccatiFactor:
-    """Matrix-only backward pass: P_k, K_k, chol(H_uu)_k."""
+    """Matrix-only backward pass: P_k, K_k, inv(H_uu)_k.
+
+    H_uu is inverted via the unrolled small-Cholesky (smallalg.py): TPU
+    lowers jnp.linalg.cholesky/triangular_solve of 6x6 blocks to slow
+    custom calls, while the unrolled form fuses into the scan body.
+    """
     nu = B.shape[-1]
     I_u = jnp.eye(nu, dtype=B.dtype)
 
@@ -43,31 +49,31 @@ def riccati_factorize(A, B, Q, R, reg: float = 0.0) -> RiccatiFactor:
         PB = P_next @ B_k
         H_uu = R_k + B_k.T @ PB + reg * I_u
         H_ux = B_k.T @ PA
-        L = jnp.linalg.cholesky(H_uu)
-        K_k = -jax.scipy.linalg.cho_solve((L, True), H_ux)
+        Hinv = chol_inverse(H_uu)
+        K_k = -(Hinv @ H_ux)
         P_k = Q_k + A_k.T @ PA + H_ux.T @ K_k
         P_k = 0.5 * (P_k + P_k.T)
-        return P_k, (K_k, L, P_next)
+        return P_k, (K_k, Hinv, P_next)
 
-    P0, (Ks, Ls, P_nexts) = jax.lax.scan(
+    P0, (Ks, Hinvs, P_nexts) = jax.lax.scan(
         bwd, Q[-1], (A, B, Q[:-1], R), reverse=True)
     Ps = jnp.concatenate([P0[None], P_nexts], axis=0)
-    return RiccatiFactor(K=Ks, L=Ls, P=Ps)
+    return RiccatiFactor(K=Ks, Hinv=Hinvs, P=Ps)
 
 
 def riccati_solve_rhs(fac: RiccatiFactor, A, B, c, q, r, dx0
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Vector-only backward + forward pass for a given RHS (q, r, c, dx0)."""
     def bwd(p_next, inputs):
-        A_k, B_k, c_k, q_k, r_k, K_k, L_k, P_next = inputs
+        A_k, B_k, c_k, q_k, r_k, K_k, Hinv_k, P_next = inputs
         Pc_p = P_next @ c_k + p_next
         G_u = r_k + B_k.T @ Pc_p
-        k_k = -jax.scipy.linalg.cho_solve((L_k, True), G_u)
+        k_k = -(Hinv_k @ G_u)
         p_k = q_k + A_k.T @ Pc_p + K_k.T @ G_u
         return p_k, k_k
 
     _, ks = jax.lax.scan(
-        bwd, q[-1], (A, B, c, q[:-1], r, fac.K, fac.L, fac.P[1:]),
+        bwd, q[-1], (A, B, c, q[:-1], r, fac.K, fac.Hinv, fac.P[1:]),
         reverse=True)
 
     # NOTE: the forward scan must emit the *new* carry (dx_next), never the

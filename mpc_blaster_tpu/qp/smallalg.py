@@ -1,0 +1,60 @@
+"""Unrolled small-matrix algebra for the Riccati hot path.
+
+XLA lowers `jnp.linalg.cholesky` / triangular solves to custom calls that
+serialize badly on TPU for tiny (nu=6) blocks, especially under vmap over
+scenario batches. These routines unroll the factorization at trace time
+into plain elementwise ops (n^3/3 multiplies for n=6 is 72 flops), which
+XLA fuses and vectorizes over any leading batch dims — the same
+"batch-across-lanes, unroll the tiny dims" layout the Pallas kernels use
+(ops/pallas_riccati.py), and the moral equivalent of BLASFEO's fixed-size
+panel kernels inside HPIPM (SURVEY.md §2.2).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def chol_unrolled(M: jnp.ndarray):
+    """Lower-Cholesky of SPD (..., n, n), entries as a python list-of-lists
+    of (...,) arrays. n must be small (trace-time unrolled)."""
+    n = M.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = M[..., j, j]
+        for p in range(j):
+            s = s - L[j][p] * L[j][p]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = M[..., i, j]
+            for p in range(j):
+                s = s - L[i][p] * L[j][p]
+            L[i][j] = s * inv_d
+    return L
+
+
+def chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of an SPD (..., n, n) via unrolled Cholesky: M^-1 = L^-T L^-1."""
+    n = M.shape[-1]
+    L = chol_unrolled(M)
+    # invert the lower-triangular factor
+    Li = [[None] * n for _ in range(n)]
+    for j in range(n):
+        Li[j][j] = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = L[i][j] * Li[j][j]
+            for k in range(j + 1, i):
+                s = s + L[i][k] * Li[k][j]
+            Li[i][j] = -s / L[i][i]
+    rows = []
+    for i in range(n):
+        cols = []
+        for j in range(n):
+            s = None
+            for k in range(max(i, j), n):
+                term = Li[k][i] * Li[k][j]
+                s = term if s is None else s + term
+            cols.append(s)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)

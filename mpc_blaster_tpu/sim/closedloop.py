@@ -87,10 +87,40 @@ def make_closed_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
     return run
 
 
+def preset_stage_params(preset: cfg.Preset, dtype=jnp.float32):
+    """Stage parameters exactly as the reference entry point supplies them.
+
+    - simulation: POC Jacobians solved once at the canonical pose before the
+      loop and held constant (`simulation_blaster.py:37-39,65-69`;
+      `Jacobian_POC_Solver.initialise` evaluates at zero angles, z=4);
+    - flight: never set -> codegen defaults (zero Jacobians + hard-coded
+      T_blast, `mavros_blaster_sim.py:76-83`).
+    """
+    quirks = preset.ocp.quirks
+    if quirks.zero_poc_jacobians or not quirks.constant_poc_jacobians:
+        return None  # build_spec applies the codegen defaults
+    from mpc_blaster_tpu.dynamics.blaster import pack_stage_params
+    from mpc_blaster_tpu.poc.solver import PocSolver
+
+    solver = PocSolver.from_config(preset.poc).initialise()
+    j_mot, j_eul, j_pos = solver.get_jacobians()
+    t_blast = (2.2 * 9.81 if quirks.hardcode_t_blast
+               else preset.ocp.model.blast_thruster)
+    p = pack_stage_params(j_mot, j_eul, j_pos, t_blast)
+    return jnp.asarray(p, dtype)
+
+
 def run_preset(preset: cfg.Preset, n_steps: Optional[int] = None,
-               dtype=jnp.float32, stage_params=None) -> ClosedLoopResult:
-    """Convenience entry: reproduce a reference entry point end to end."""
+               dtype=jnp.float32, stage_params=None,
+               with_poc: bool = False) -> ClosedLoopResult:
+    """Convenience entry: reproduce a reference entry point end to end.
+
+    with_poc=True computes the POC Jacobians through the jet solver first,
+    exactly like `simulation_blaster.py` (slower first call; jit-cached).
+    """
     n = n_steps if n_steps is not None else preset.loop.n_steps
+    if stage_params is None and with_poc:
+        stage_params = preset_stage_params(preset, dtype)
     spec = build_spec(preset.ocp, yref=preset.loop.yref,
                       stage_params=stage_params, dtype=dtype)
     run = make_closed_loop(preset.ocp, n, dtype=dtype)

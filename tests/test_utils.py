@@ -1,0 +1,47 @@
+"""utils: profiling, metrics, checkpoint round-trip."""
+import numpy as np
+import jax.numpy as jnp
+
+from mpc_blaster_tpu.utils.checkpoint import load_pytree, save_pytree
+from mpc_blaster_tpu.utils.metrics import summarize
+from mpc_blaster_tpu.utils.profiling import Timer
+from mpc_blaster_tpu.sqp.rti import RTIState
+
+
+def test_timer_percentiles():
+    t = Timer()
+    for v in [0.001, 0.002, 0.003]:
+        t.add("solve", v)
+    s = t.summary("solve")
+    assert s["count"] == 3
+    assert 1.9 < s["p50_ms"] < 2.1
+    with t.measure("ctx"):
+        pass
+    assert t.summary("ctx")["count"] == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = RTIState(xbar=jnp.arange(12.0).reshape(3, 4),
+                     ubar=jnp.ones((2, 4)) * 7)
+    path = str(tmp_path / "ckpt.npz")
+    save_pytree(path, state)
+    like = RTIState(xbar=jnp.zeros((3, 4)), ubar=jnp.zeros((2, 4)))
+    restored = load_pytree(path, like)
+    np.testing.assert_allclose(np.asarray(restored.xbar),
+                               np.asarray(state.xbar))
+    np.testing.assert_allclose(np.asarray(restored.ubar),
+                               np.asarray(state.ubar))
+
+
+def test_metrics_summary_healthy():
+    class R:
+        xs = np.zeros((11, 17))
+        us = np.zeros((10, 6))
+        kkt_stat = np.full(10, 1e-7)
+        kkt_eq = np.full(10, 1e-9)
+        costs = np.linspace(10, 1, 10)
+    s = summarize(R())
+    assert s.healthy
+    assert s.n_solves == 10
+    js = s.to_json()
+    assert "kkt_stat_max" in js
