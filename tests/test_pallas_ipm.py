@@ -1,0 +1,58 @@
+"""Pallas fused-IPM kernel vs the XLA reference (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_blaster_tpu.qp.ipm import box_qp_solve
+from mpc_blaster_tpu.ops.pallas_ipm import pallas_box_qp_solve
+
+
+def _blaster_qps(B=4, N=8):
+    """Realistic linearized BLASTER QPs at different states."""
+    from mpc_blaster_tpu import config as cfg
+    from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+    from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+    from mpc_blaster_tpu.ocp.spec import build_spec
+    from mpc_blaster_tpu.sqp.rti import build_qp, init_rti_state
+    import dataclasses
+
+    preset = cfg.simulation_preset()
+    ocp = dataclasses.replace(preset.ocp, N=N, Tf=N / 30.0)
+    spec = build_spec(ocp, yref=np.asarray(preset.loop.yref),
+                      dtype=jnp.float32)
+    params = BlasterParams.from_config(ocp.model, jnp.float32)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    rng = np.random.default_rng(0)
+    qps = []
+    for i in range(B):
+        x0 = np.zeros(cfg.NX, np.float32)
+        x0[0:3] = rng.uniform(-0.4, 0.4, 3)
+        x0[2] = rng.uniform(1.5, 3.4)
+        st = init_rti_state(ocp, jnp.asarray(x0), jnp.float32)
+        qps.append(build_qp(spec, st, jnp.asarray(x0), F, params))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+
+
+def test_pallas_ipm_matches_xla_interpret():
+    data = _blaster_qps(B=4, N=8)
+    sol_p = pallas_box_qp_solve(data, iters=10, interpret=True)
+    sol_x = jax.vmap(lambda d: box_qp_solve(d, iters=10))(data)
+    du_p, du_x = np.asarray(sol_p.du), np.asarray(sol_x.du)
+    scale = np.abs(du_x).max() + 1.0
+    assert np.isfinite(du_p).all()
+    # both implementations drive KKT low; compare decisions at stage 0
+    np.testing.assert_allclose(du_p[:, 0] / scale, du_x[:, 0] / scale,
+                               atol=2e-3)
+    assert np.asarray(sol_p.kkt_eq).max() < 1e-2
+    assert np.asarray(sol_p.kkt_stat).max() < 1.0
+
+
+def test_pallas_ipm_respects_bounds_interpret():
+    data = _blaster_qps(B=2, N=8)
+    sol = pallas_box_qp_solve(data, iters=10, interpret=True)
+    du = np.asarray(sol.du)
+    lbu = np.asarray(data.lbu)
+    ubu = np.asarray(data.ubu)
+    assert (du >= lbu - 1e-4).all()
+    assert (du <= ubu + 1e-4).all()
