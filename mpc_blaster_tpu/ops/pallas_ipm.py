@@ -119,6 +119,7 @@ def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
                 dx_s, du_s, slx_s, sux_s, lam_lx_s, lam_ux_s,
                 slu_s, suu_s, lam_lu_s, lam_uu_s,
                 bdx_s, bdu_s, bm_s,
+                blam_lx_s, blam_ux_s, blam_lu_s, blam_uu_s,
                 ddx_s, ddu_s, qr_s, rr_s, req_s,
                 aslx_s, asux_s, aslu_s, asuu_s,
                 allx_s, alux_s, allu_s, aluu_s,
@@ -127,16 +128,13 @@ def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
                 sigma_max: float, lam_max: float, eps_s: float):
     f32 = jnp.float32
 
-    A = A_ref[...]       # (N, nx, nx, B)  row-major
-    AT = AT_ref[...]     # (N, nx, nx, B)  transpose-stored
-    Bm = B_ref[...]      # (N, nx, nu, B)
-    BT = BT_ref[...]     # (N, nu, nx, B)
-    cc = c_ref[...]      # (N, nx, B)
-    Q = Q_ref[...]       # (N+1, nx, nx, B)
-    qq = q_ref[...]      # (N+1, nx, B)
-    R = R_ref[...]       # (N, nu, nu, B)
-    rr = r_ref[...]      # (N, nu, B)
-    lbx = lbx_ref[...]   # (N, nx, B)   stages 1..N
+    # Index the big per-stage inputs directly through their VMEM refs —
+    # reading them as full values would duplicate them on the kernel stack
+    # and blow the 16MB VMEM budget.
+    A, AT, Bm, BT = A_ref, AT_ref, B_ref, BT_ref
+    Q, R = Q_ref, R_ref
+    cc, qq, rr = c_ref, q_ref, r_ref
+    lbx = lbx_ref[...]   # (N, nx, B)   stages 1..N (small)
     ubx = ubx_ref[...]
     lbu = lbu_ref[...]   # (N, nu, B)
     ubu = ubu_ref[...]
@@ -201,6 +199,10 @@ def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
     bdx_s[...] = dx_s[...]
     bdu_s[...] = du_s[...]
     bm_s[...] = (st0 + eq0 + comp_sum() / n_ineq)[None, :]
+    blam_lx_s[...] = lam_lx_s[...]
+    blam_ux_s[...] = lam_ux_s[...]
+    blam_lu_s[...] = lam_lu_s[...]
+    blam_uu_s[...] = lam_uu_s[...]
 
     def factorize():
         """Backward matrix sweep with barrier-modified Hessians."""
@@ -390,14 +392,18 @@ def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
         bdx_s[...] = jnp.where(better, dx_s[...], bdx_s[...])
         bdu_s[...] = jnp.where(better, du_s[...], bdu_s[...])
         bm_s[...] = jnp.where(better[0], m[None, :], bm_s[...])
+        blam_lx_s[...] = jnp.where(better, lam_lx_s[...], blam_lx_s[...])
+        blam_ux_s[...] = jnp.where(better, lam_ux_s[...], blam_ux_s[...])
+        blam_lu_s[...] = jnp.where(better, lam_lu_s[...], blam_lu_s[...])
+        blam_uu_s[...] = jnp.where(better, lam_uu_s[...], blam_uu_s[...])
         return _carry
 
     jax.lax.fori_loop(0, iters, ipm_iteration, 0)
 
     dx_out[...] = bdx_s[...]
     du_out[...] = bdu_s[...]
-    stb, eqb = kkt(bdx_s[...], bdu_s[...], lam_lx_s[...], lam_ux_s[...],
-                   lam_lu_s[...], lam_uu_s[...])
+    stb, eqb = kkt(bdx_s[...], bdu_s[...], blam_lx_s[...], blam_ux_s[...],
+                   blam_lu_s[...], blam_uu_s[...])
     diag_out[...] = jnp.stack([stb, eqb, bm_s[0]], axis=0)
 
 
@@ -488,6 +494,10 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
         pltpu.VMEM((N + 1, nx, LANES), f32),      # bdx
         pltpu.VMEM((N, nu, LANES), f32),          # bdu
         pltpu.VMEM((1, LANES), f32),              # bm
+        pltpu.VMEM((N, nx, LANES), f32),          # blam_lx
+        pltpu.VMEM((N, nx, LANES), f32),          # blam_ux
+        pltpu.VMEM((N, nu, LANES), f32),          # blam_lu
+        pltpu.VMEM((N, nu, LANES), f32),          # blam_uu
         pltpu.VMEM((N + 1, nx, LANES), f32),      # ddx
         pltpu.VMEM((N, nu, LANES), f32),          # ddu
         pltpu.VMEM((N + 1, nx, LANES), f32),      # qr
