@@ -15,19 +15,25 @@ rank-1 outer products of leading-dim slices (`_contractT`), so each
 the BLASFEO idea (fixed-size panel kernels) mapped to TPU vector lanes
 (SURVEY.md §2.2).
 
+VMEM discipline (the 16 MB budget is the binding constraint):
+  - all stage loops are `fori_loop`s with dynamic ref indexing, so Mosaic
+    reuses one stage's worth of stack temporaries;
+  - cost Hessians are passed stage-invariant (Q_stage, Q_term, R_stage) —
+    exactly the LINEAR_LS structure of the OCP (`ocp/spec.py`); only the
+    gradients vary per stage;
+  - no transposed copies are stored; transposes happen on the fly.
+
 Semantics match `qp/ipm.py` (same init, Mehrotra + Gondzio clipping,
-dtype-aware floors, best-KKT-iterate), with ALL bounds assumed finite
-(true for the BLASTER OCP: full state+control boxes,
-`blastermodel.py:261-270`); the XLA path remains the general fallback.
+f32 floors, best-KKT-iterate), with ALL bounds assumed finite (true for
+the BLASTER OCP: full state+control boxes, `blastermodel.py:261-270`);
+the XLA path remains the general fallback.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mpc_blaster_tpu.qp.data import QPData, QPSolution
 
@@ -71,11 +77,15 @@ def _contractT_vec(X, y):
     return acc
 
 
+def _matvec(M, y):
+    """(m, p, B), (p, B) -> M y (m, B) via on-the-fly transpose."""
+    return _contractT_vec(jnp.swapaxes(M, 0, 1), y)
+
+
 def _chol_inverse_lanes(M):
     """(n, n, B) SPD -> inverse (n, n, B), unrolled over entries."""
     n = M.shape[0]
-    rows = [M[i] for i in range(n)]            # each (n, B)
-    ent = [[rows[i][j] for j in range(n)] for i in range(n)]  # (B,) each
+    ent = [[M[i][j] for j in range(n)] for i in range(n)]  # (B,) each
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         s = ent[j][j]
@@ -112,55 +122,52 @@ def _chol_inverse_lanes(M):
 
 # ------------------------------- the kernel -------------------------------
 
-def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
-                r_ref, lbx_ref, ubx_ref, lbu_ref, ubu_ref, dx0_ref,
+def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
+                lbx_ref, ubx_ref, lbu_ref, ubu_ref, dx0_ref,
                 dx_out, du_out, diag_out,
-                P_s, Z_s, ZT_s, Hinv_s, kff_s,
+                P_s, Z_s, Hinv_s, kff_s,
                 dx_s, du_s, slx_s, sux_s, lam_lx_s, lam_ux_s,
                 slu_s, suu_s, lam_lu_s, lam_uu_s,
                 bdx_s, bdu_s, bm_s,
                 blam_lx_s, blam_ux_s, blam_lu_s, blam_uu_s,
                 ddx_s, ddu_s, qr_s, rr_s, req_s,
+                rslx_s, rsux_s, rslu_s, rsuu_s,
                 aslx_s, asux_s, aslu_s, asuu_s,
                 allx_s, alux_s, allu_s, aluu_s,
                 *, N: int, nx: int, nu: int, iters: int, mu0: float,
                 alpha_frac: float, reg: float, s_min: float, mu_min: float,
                 sigma_max: float, lam_max: float, eps_s: float):
     f32 = jnp.float32
+    Bt = dx0_ref.shape[-1]
 
-    # Index the big per-stage inputs directly through their VMEM refs —
-    # reading them as full values would duplicate them on the kernel stack
-    # and blow the 16MB VMEM budget.
-    A, AT, Bm, BT = A_ref, AT_ref, B_ref, BT_ref
-    Q, R = Q_ref, R_ref
-    cc, qq, rr = c_ref, q_ref, r_ref
-    lbx = lbx_ref[...]   # (N, nx, B)   stages 1..N (small)
-    ubx = ubx_ref[...]
-    lbu = lbu_ref[...]   # (N, nu, B)
-    ubu = ubu_ref[...]
-    dx0 = dx0_ref[...]   # (nx, B)
-    Bt = dx0.shape[-1]
-
-    eye_u = jnp.broadcast_to(
-        jnp.eye(nu, dtype=f32)[:, :, None], (nu, nu, Bt))
+    eye_u = jnp.broadcast_to(jnp.eye(nu, dtype=f32)[:, :, None],
+                             (nu, nu, Bt))
+    eye_x = jnp.broadcast_to(jnp.eye(nx, dtype=f32)[:, :, None],
+                             (nx, nx, Bt))
 
     # ---- initial point: rollout (du=0) + 10%-inset clamp ----
-    dx_s[0] = dx0
-    for k in range(N):
-        nxt = _contractT_vec(AT[k], dx_s[k]) + cc[k]
-        width_x = ubx[k] - lbx[k]
-        nxt = jnp.clip(nxt, lbx[k] + 0.1 * width_x, ubx[k] - 0.1 * width_x)
-        dx_s[k + 1] = nxt
-    width_u = ubu - lbu
-    du0 = jnp.clip(jnp.zeros((N, nu, Bt), f32), lbu + 0.1 * width_u,
-                   ubu - 0.1 * width_u)
+    dx_s[0] = dx0_ref[...]
+
+    def init_roll(k, _):
+        nxt = _matvec(A_ref[k], dx_s[k]) + c_ref[k]
+        lb, ub = lbx_ref[k], ubx_ref[k]
+        w = ub - lb
+        dx_s[k + 1] = jnp.clip(nxt, lb + 0.1 * w, ub - 0.1 * w)
+        return 0
+
+    jax.lax.fori_loop(0, N, init_roll, 0)
+
+    lbu_v, ubu_v = lbu_ref[...], ubu_ref[...]
+    wu = ubu_v - lbu_v
+    du0 = jnp.clip(jnp.zeros((N, nu, Bt), f32), lbu_v + 0.1 * wu,
+                   ubu_v - 0.1 * wu)
     du_s[...] = du0
 
-    dx_all = dx_s[...]
-    slx_s[...] = jnp.maximum(dx_all[1:] - lbx, s_min)
-    sux_s[...] = jnp.maximum(ubx - dx_all[1:], s_min)
-    slu_s[...] = jnp.maximum(du0 - lbu, s_min)
-    suu_s[...] = jnp.maximum(ubu - du0, s_min)
+    dx_tail = dx_s[...][1:]
+    slx_s[...] = jnp.maximum(dx_tail - lbx_ref[...], s_min)
+    sux_s[...] = jnp.maximum(ubx_ref[...] - dx_tail, s_min)
+    slu_s[...] = jnp.maximum(du0 - lbu_v, s_min)
+    suu_s[...] = jnp.maximum(ubu_v - du0, s_min)
     lam_lx_s[...] = mu0 / slx_s[...]
     lam_ux_s[...] = mu0 / sux_s[...]
     lam_lu_s[...] = mu0 / slu_s[...]
@@ -174,28 +181,35 @@ def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
                 + jnp.sum(slu_s[...] * lam_lu_s[...], axis=(0, 1))
                 + jnp.sum(suu_s[...] * lam_uu_s[...], axis=(0, 1)))  # (B,)
 
-    def kkt(dx, du, llx, lux, llu, luu):
-        """(stat (B,), eq (B,)) via adjoint recursion, unrolled over N."""
-        lam = (_contractT_vec(Q[N], dx[N]) + qq[N]) - (llx[N - 1] - lux[N - 1])
-        stat = jnp.zeros((Bt,), f32)
-        eq = jnp.zeros((Bt,), f32)
-        for k in range(N - 1, -1, -1):
-            su = (_contractT_vec(R[k], du[k]) + rr[k]
-                  + _contractT_vec(Bm[k], lam) - (llu[k] - luu[k]))
+    def kkt(dx_ref, du_ref, llx_ref, lux_ref, llu_ref, luu_ref):
+        """(stat (B,), eq (B,)) via adjoint recursion (fori over stages)."""
+        lam0 = (_contractT_vec(Qt_ref[...], dx_ref[N]) + q_ref[N]
+                - (llx_ref[N - 1] - lux_ref[N - 1]))
+
+        def bwd(i, carry):
+            lam, stat, eq = carry
+            k = N - 1 - i
+            su = (_contractT_vec(R1_ref[...], du_ref[k]) + r_ref[k]
+                  + _contractT_vec(B_ref[k], lam)
+                  - (llu_ref[k] - luu_ref[k]))
             stat = jnp.maximum(stat, jnp.max(jnp.abs(su), axis=0))
-            pred = (_contractT_vec(AT[k], dx[k])
-                    + _contractT_vec(BT[k], du[k]) + cc[k] - dx[k + 1])
+            pred = (_matvec(A_ref[k], dx_ref[k])
+                    + _matvec(B_ref[k], du_ref[k]) + c_ref[k]
+                    - dx_ref[k + 1])
             eq = jnp.maximum(eq, jnp.max(jnp.abs(pred), axis=0))
-            lam_new = (_contractT_vec(Q[k], dx[k]) + qq[k]
-                       + _contractT_vec(A[k], lam))
-            if k >= 1:
-                lam_new = lam_new - (llx[k - 1] - lux[k - 1])
-            lam = lam_new
+            lam_new = (_contractT_vec(Qs_ref[...], dx_ref[k]) + q_ref[k]
+                       + _contractT_vec(A_ref[k], lam))
+            km1 = jnp.maximum(k - 1, 0)
+            bnd = llx_ref[km1] - lux_ref[km1]
+            lam_new = lam_new - jnp.where(k >= 1, bnd, 0.0)
+            return (lam_new, stat, eq)
+
+        z = jnp.zeros((Bt,), f32)
+        _, stat, eq = jax.lax.fori_loop(0, N, bwd, (lam0, z, z))
         return stat, eq
 
     # seed best iterate
-    st0, eq0 = kkt(dx_s[...], du_s[...], lam_lx_s[...], lam_ux_s[...],
-                   lam_lu_s[...], lam_uu_s[...])
+    st0, eq0 = kkt(dx_s, du_s, lam_lx_s, lam_ux_s, lam_lu_s, lam_uu_s)
     bdx_s[...] = dx_s[...]
     bdu_s[...] = du_s[...]
     bm_s[...] = (st0 + eq0 + comp_sum() / n_ineq)[None, :]
@@ -206,128 +220,153 @@ def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
 
     def factorize():
         """Backward matrix sweep with barrier-modified Hessians."""
-        sig_x = jnp.minimum(lam_lx_s[...] / slx_s[...]
-                            + lam_ux_s[...] / sux_s[...], sigma_max)
-        sig_u = jnp.minimum(lam_lu_s[...] / slu_s[...]
-                            + lam_uu_s[...] / suu_s[...], sigma_max)
-        eye_x = jnp.broadcast_to(
-            jnp.eye(nx, dtype=f32)[:, :, None], (nx, nx, Bt))
-        P = Q[N] + sig_x[N - 1][:, None, :] * eye_x   # terminal state bounds
-        P_s[N] = P
-        for k in range(N - 1, -1, -1):
-            PA = _contractT(P, A[k])                    # P'A = PA (sym)
-            PB = _contractT(P, Bm[k])
-            # diag(sig_u) add: R + B'PB + reg
-            Huu = _contractT(Bm[k], PB) + R[k] + reg * eye_u
-            Huu = Huu + sig_u[k][:, None, :] * eye_u
-            Hux = _contractT(Bm[k], PA)                 # (nu, nx, B)
+        sigN = jnp.minimum(lam_lx_s[N - 1] / slx_s[N - 1]
+                           + lam_ux_s[N - 1] / sux_s[N - 1], sigma_max)
+        P_s[N] = Qt_ref[...] + sigN[:, None, :] * eye_x
+
+        def bwd(i, _):
+            k = N - 1 - i
+            P = P_s[k + 1]
+            A_k = A_ref[k]
+            B_k = B_ref[k]
+            PA = _contractT(P, A_k)                    # P'A = PA (sym)
+            PB = _contractT(P, B_k)
+            sig_u = jnp.minimum(lam_lu_s[k] / slu_s[k]
+                                + lam_uu_s[k] / suu_s[k], sigma_max)
+            Huu = (_contractT(B_k, PB) + R1_ref[...] + reg * eye_u
+                   + sig_u[:, None, :] * eye_u)
+            Hux = _contractT(B_k, PA)                  # (nu, nx, B)
             Hinv = _chol_inverse_lanes(Huu)
-            Z = _contractT(Hinv, Hux)                   # Hinv Hux = -K
-            ZT = _contractT(Hux, Hinv)                  # (nx, nu, B)
-            Pk = Q[k] + _contractT(A[k], PA) - _contractT(Hux, Z)
-            if k >= 1:
-                Pk = Pk + sig_x[k - 1][:, None, :] * eye_x  # stage-k bounds
+            Z = _contractT(Hinv, Hux)                  # Hinv Hux = -K
+            Pk = Qs_ref[...] + _contractT(A_k, PA) - _contractT(Hux, Z)
+            km1 = jnp.maximum(k - 1, 0)
+            sig_x = jnp.minimum(lam_lx_s[km1] / slx_s[km1]
+                                + lam_ux_s[km1] / sux_s[km1], sigma_max)
+            sig_x = jnp.where(k >= 1, sig_x, 0.0)
+            Pk = Pk + sig_x[:, None, :] * eye_x
             Pk = 0.5 * (Pk + jnp.swapaxes(Pk, 0, 1))
             P_s[k] = Pk
             Z_s[k] = Z
-            ZT_s[k] = ZT
             Hinv_s[k] = Hinv
-            P = Pk
-        return sig_x, sig_u
+            return 0
 
-    def rhs_grads(Tlx, Tux, Tlu, Tuu, r_slx, r_sux, r_slu, r_suu):
-        gx = jnp.stack([_contractT_vec(Q[k], dx_s[k]) + qq[k]
-                        for k in range(N + 1)], axis=0)
-        gu = jnp.stack([_contractT_vec(R[k], du_s[k]) + rr[k]
-                        for k in range(N)], axis=0)
-        bx = (-Tlx / slx_s[...] - (lam_lx_s[...] / slx_s[...]) * r_slx
-              + Tux / sux_s[...] + (lam_ux_s[...] / sux_s[...]) * r_sux)
-        bu = (-Tlu / slu_s[...] - (lam_lu_s[...] / slu_s[...]) * r_slu
-              + Tuu / suu_s[...] + (lam_uu_s[...] / suu_s[...]) * r_suu)
-        qr_s[...] = jnp.concatenate([gx[:1], gx[1:] + bx], axis=0)
-        rr_s[...] = gu + bu
+        jax.lax.fori_loop(0, N, bwd, 0)
+
+    def compute_req():
+        def body(k, _):
+            req_s[k] = (c_ref[k] + _matvec(A_ref[k], dx_s[k])
+                        + _matvec(B_ref[k], du_s[k]) - dx_s[k + 1])
+            return 0
+        jax.lax.fori_loop(0, N, body, 0)
+
+    def rhs_grads(Tlx, Tux, Tlu, Tuu):
+        def gxb(k, _):
+            Qk = jnp.where(k == N, 1.0, 0.0)  # select terminal vs stage
+            g = (Qk * _contractT_vec(Qt_ref[...], dx_s[k])
+                 + (1.0 - Qk) * _contractT_vec(Qs_ref[...], dx_s[k])
+                 + q_ref[k])
+            qr_s[k] = g
+            return 0
+        jax.lax.fori_loop(0, N + 1, gxb, 0)
+
+        def gub(k, _):
+            rr_s[k] = _contractT_vec(R1_ref[...], du_s[k]) + r_ref[k]
+            return 0
+        jax.lax.fori_loop(0, N, gub, 0)
+
+        bx = (-Tlx / slx_s[...]
+              - (lam_lx_s[...] / slx_s[...]) * rslx_s[...]
+              + Tux / sux_s[...]
+              + (lam_ux_s[...] / sux_s[...]) * rsux_s[...])
+        bu = (-Tlu / slu_s[...]
+              - (lam_lu_s[...] / slu_s[...]) * rslu_s[...]
+              + Tuu / suu_s[...]
+              + (lam_uu_s[...] / suu_s[...]) * rsuu_s[...])
+        qrv = qr_s[...]
+        qr_s[...] = jnp.concatenate([qrv[:1], qrv[1:] + bx], axis=0)
+        rr_s[...] = rr_s[...] + bu
 
     def solve_rhs():
         """Backward vector sweep + forward rollout into ddx_s/ddu_s."""
-        p = qr_s[N]
-        for k in range(N - 1, -1, -1):
+        def bwd(i, p):
+            k = N - 1 - i
             Pcp = _contractT_vec(P_s[k + 1], req_s[k]) + p
-            Gu = rr_s[k] + _contractT_vec(Bm[k], Pcp)
+            Gu = rr_s[k] + _contractT_vec(B_ref[k], Pcp)
             kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)
-            p = (qr_s[k] + _contractT_vec(A[k], Pcp)
-                 - _contractT_vec(Z_s[k], Gu))
-        d = jnp.zeros((nx, Bt), f32)
-        ddx_s[0] = d
-        for k in range(N):
-            du_k = -_contractT_vec(ZT_s[k], d) + kff_s[k]
+            return (qr_s[k] + _contractT_vec(A_ref[k], Pcp)
+                    - _contractT_vec(Z_s[k], Gu))
+
+        jax.lax.fori_loop(0, N, bwd, qr_s[N])
+
+        ddx_s[0] = jnp.zeros((nx, Bt), f32)
+
+        def fwd(k, _):
+            d = ddx_s[k]
+            du_k = -_matvec(Z_s[k], d) + kff_s[k]
             ddu_s[k] = du_k
-            d = (_contractT_vec(AT[k], d) + _contractT_vec(BT[k], du_k)
-                 + req_s[k])
-            ddx_s[k + 1] = d
+            ddx_s[k + 1] = (_matvec(A_ref[k], d) + _matvec(B_ref[k], du_k)
+                            + req_s[k])
+            return 0
+
+        jax.lax.fori_loop(0, N, fwd, 0)
 
     def ipm_iteration(_it, _carry):
         mu_cur = comp_sum() / n_ineq                     # (B,)
 
-        r_slx = slx_s[...] - (dx_s[...][1:] - lbx)
-        r_sux = sux_s[...] - (ubx - dx_s[...][1:])
-        r_slu = slu_s[...] - (du_s[...] - lbu)
-        r_suu = suu_s[...] - (ubu - du_s[...])
+        rslx_s[...] = slx_s[...] - (dx_s[...][1:] - lbx_ref[...])
+        rsux_s[...] = sux_s[...] - (ubx_ref[...] - dx_s[...][1:])
+        rslu_s[...] = slu_s[...] - (du_s[...] - lbu_ref[...])
+        rsuu_s[...] = suu_s[...] - (ubu_ref[...] - du_s[...])
 
-        # equality residual of the iterate
-        dx_all = dx_s[...]
-        req_s[...] = jnp.stack(
-            [cc[k] + _contractT_vec(AT[k], dx_all[k])
-             + _contractT_vec(BT[k], du_s[k]) - dx_all[k + 1]
-             for k in range(N)], axis=0)
-
+        compute_req()
         factorize()
 
-        zero_x = jnp.zeros((N, nx, Bt), f32)
-        zero_u = jnp.zeros((N, nu, Bt), f32)
-
-        def dirs(Tlx, Tux, Tlu, Tuu, out):
-            rhs_grads(Tlx, Tux, Tlu, Tuu, r_slx, r_sux, r_slu, r_suu)
+        def dirs(Tlx, Tux, Tlu, Tuu):
+            rhs_grads(Tlx, Tux, Tlu, Tuu)
             solve_rhs()
             ddx_t = ddx_s[...][1:]
             ddu_t = ddu_s[...]
-            dslx = ddx_t - r_slx
-            dsux = -ddx_t - r_sux
-            dslu = ddu_t - r_slu
-            dsuu = -ddu_t - r_suu
-            dllx = (Tlx - slx_s[...] * lam_lx_s[...]
-                    - lam_lx_s[...] * dslx) / slx_s[...]
-            dlux = (Tux - sux_s[...] * lam_ux_s[...]
-                    - lam_ux_s[...] * dsux) / sux_s[...]
-            dllu = (Tlu - slu_s[...] * lam_lu_s[...]
-                    - lam_lu_s[...] * dslu) / slu_s[...]
-            dluu = (Tuu - suu_s[...] * lam_uu_s[...]
-                    - lam_uu_s[...] * dsuu) / suu_s[...]
-            (o_slx, o_sux, o_slu, o_suu, o_llx, o_lux, o_llu, o_luu) = out
-            o_slx[...] = dslx; o_sux[...] = dsux
-            o_slu[...] = dslu; o_suu[...] = dsuu
-            o_llx[...] = dllx; o_lux[...] = dlux
-            o_llu[...] = dllu; o_luu[...] = dluu
+            dslx = ddx_t - rslx_s[...]
+            dsux = -ddx_t - rsux_s[...]
+            dslu = ddu_t - rslu_s[...]
+            dsuu = -ddu_t - rsuu_s[...]
+            aslx_s[...] = dslx
+            asux_s[...] = dsux
+            aslu_s[...] = dslu
+            asuu_s[...] = dsuu
+            allx_s[...] = (Tlx - slx_s[...] * lam_lx_s[...]
+                           - lam_lx_s[...] * dslx) / slx_s[...]
+            alux_s[...] = (Tux - sux_s[...] * lam_ux_s[...]
+                           - lam_ux_s[...] * dsux) / sux_s[...]
+            allu_s[...] = (Tlu - slu_s[...] * lam_lu_s[...]
+                           - lam_lu_s[...] * dslu) / slu_s[...]
+            aluu_s[...] = (Tuu - suu_s[...] * lam_uu_s[...]
+                           - lam_uu_s[...] * dsuu) / suu_s[...]
 
         def max_step(v, dv, tau):
             ratio = jnp.where(dv < 0, -tau * v / jnp.where(dv < 0, dv, -1.0),
                               _BIG)
             return jnp.min(ratio, axis=(0, 1))           # (B,)
 
-        aff_out = (aslx_s, asux_s, aslu_s, asuu_s,
-                   allx_s, alux_s, allu_s, aluu_s)
-        dirs(zero_x, zero_x, zero_u, zero_u, aff_out)
-        a_p_aff = jnp.minimum(jnp.minimum(
-            max_step(slx_s[...], aslx_s[...], 1.0),
-            max_step(sux_s[...], asux_s[...], 1.0)), jnp.minimum(
-            max_step(slu_s[...], aslu_s[...], 1.0),
-            max_step(suu_s[...], asuu_s[...], 1.0)))
-        a_d_aff = jnp.minimum(jnp.minimum(
-            max_step(lam_lx_s[...], allx_s[...], 1.0),
-            max_step(lam_ux_s[...], alux_s[...], 1.0)), jnp.minimum(
-            max_step(lam_lu_s[...], allu_s[...], 1.0),
-            max_step(lam_uu_s[...], aluu_s[...], 1.0)))
-        a_p_aff = jnp.minimum(a_p_aff, 1.0)[None, None, :]
-        a_d_aff = jnp.minimum(a_d_aff, 1.0)[None, None, :]
+        def alphas(tau):
+            a_p = jnp.minimum(jnp.minimum(
+                max_step(slx_s[...], aslx_s[...], tau),
+                max_step(sux_s[...], asux_s[...], tau)), jnp.minimum(
+                max_step(slu_s[...], aslu_s[...], tau),
+                max_step(suu_s[...], asuu_s[...], tau)))
+            a_d = jnp.minimum(jnp.minimum(
+                max_step(lam_lx_s[...], allx_s[...], tau),
+                max_step(lam_ux_s[...], alux_s[...], tau)), jnp.minimum(
+                max_step(lam_lu_s[...], allu_s[...], tau),
+                max_step(lam_uu_s[...], aluu_s[...], tau)))
+            return (jnp.minimum(a_p, 1.0)[None, None, :],
+                    jnp.minimum(a_d, 1.0)[None, None, :])
+
+        # ---- predictor (affine scaling, target 0) ----
+        zx = jnp.zeros((N, nx, Bt), f32)
+        zu = jnp.zeros((N, nu, Bt), f32)
+        dirs(zx, zx, zu, zu)
+        a_p_aff, a_d_aff = alphas(1.0)
 
         mu_aff = ((jnp.sum((slx_s[...] + a_p_aff * aslx_s[...])
                            * (lam_lx_s[...] + a_d_aff * allx_s[...]),
@@ -348,29 +387,18 @@ def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
         def target(ds, dl):
             return jnp.clip(mu_t - ds * dl, 0.05 * mu_t, 20.0 * mu_t)
 
+        # ---- corrector (centering + Gondzio-clipped 2nd order) ----
         Tlx = target(aslx_s[...], allx_s[...])
         Tux = target(asux_s[...], alux_s[...])
         Tlu = target(aslu_s[...], allu_s[...])
         Tuu = target(asuu_s[...], aluu_s[...])
-        cor_out = (aslx_s, asux_s, aslu_s, asuu_s,
-                   allx_s, alux_s, allu_s, aluu_s)
-        dirs(Tlx, Tux, Tlu, Tuu, cor_out)
-        a_p = jnp.minimum(jnp.minimum(
-            max_step(slx_s[...], aslx_s[...], alpha_frac),
-            max_step(sux_s[...], asux_s[...], alpha_frac)), jnp.minimum(
-            max_step(slu_s[...], aslu_s[...], alpha_frac),
-            max_step(suu_s[...], asuu_s[...], alpha_frac)))
-        a_d = jnp.minimum(jnp.minimum(
-            max_step(lam_lx_s[...], allx_s[...], alpha_frac),
-            max_step(lam_ux_s[...], alux_s[...], alpha_frac)), jnp.minimum(
-            max_step(lam_lu_s[...], allu_s[...], alpha_frac),
-            max_step(lam_uu_s[...], aluu_s[...], alpha_frac)))
-        a_p = jnp.minimum(a_p, 1.0)[None, None, :]
-        a_d = jnp.minimum(a_d, 1.0)[None, None, :]
+        dirs(Tlx, Tux, Tlu, Tuu)
+        a_p, a_d = alphas(alpha_frac)
 
-        # stage-0 state stays pinned (ddx[0] == 0 by construction anyway)
+        # ---- update (stage-0 state stays pinned; ddx[0] == 0 anyway) ----
+        ddxv = ddx_s[...]
         dx_s[...] = dx_s[...] + jnp.concatenate(
-            [ddx_s[...][0:1] * 0.0, a_p * ddx_s[...][1:]], axis=0)
+            [ddxv[0:1] * 0.0, a_p * ddxv[1:]], axis=0)
         du_s[...] = du_s[...] + a_p * ddu_s[...]
         slx_s[...] = jnp.maximum(slx_s[...] + a_p * aslx_s[...], eps_s)
         sux_s[...] = jnp.maximum(sux_s[...] + a_p * asux_s[...], eps_s)
@@ -385,8 +413,7 @@ def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
         lam_uu_s[...] = jnp.clip(lam_uu_s[...] + a_d * aluu_s[...],
                                  0.0, lam_max)
 
-        st, eq = kkt(dx_s[...], du_s[...], lam_lx_s[...], lam_ux_s[...],
-                     lam_lu_s[...], lam_uu_s[...])
+        st, eq = kkt(dx_s, du_s, lam_lx_s, lam_ux_s, lam_lu_s, lam_uu_s)
         m = st + eq + comp_sum() / n_ineq                # (B,)
         better = (m < bm_s[0])[None, None, :]
         bdx_s[...] = jnp.where(better, dx_s[...], bdx_s[...])
@@ -402,8 +429,8 @@ def _ipm_kernel(A_ref, AT_ref, B_ref, BT_ref, c_ref, Q_ref, q_ref, R_ref,
 
     dx_out[...] = bdx_s[...]
     du_out[...] = bdu_s[...]
-    stb, eqb = kkt(bdx_s[...], bdu_s[...], blam_lx_s[...], blam_ux_s[...],
-                   blam_lu_s[...], blam_uu_s[...])
+    stb, eqb = kkt(bdx_s, bdu_s, blam_lx_s, blam_ux_s, blam_lu_s,
+                   blam_uu_s)
     diag_out[...] = jnp.stack([stb, eqb, bm_s[0]], axis=0)
 
 
@@ -416,31 +443,32 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                         interpret: bool = False) -> QPSolution:
     """Batched QP solve. `data` fields carry a LEADING batch axis (B, ...).
 
-    All bounds must be finite. f32. Batch is padded to a lane multiple.
+    Requirements (the RTI/LINEAR_LS structure): stage cost Hessians
+    identical across stages 0..N-1 (Q[:, 0] used) with a distinct terminal
+    Q[:, N]; R identical across stages; ALL bounds finite. f32.
     """
     B = data.A.shape[0]
     N, nx, nu = data.A.shape[1], data.A.shape[-1], data.B.shape[-1]
     f32 = jnp.float32
 
     pad = (-B) % LANES
+
     def prep(x):
         x = jnp.asarray(x, f32)
         if pad:
             x = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
-        # batch-last
-        return jnp.moveaxis(x, 0, -1)
+        return jnp.moveaxis(x, 0, -1)   # batch-last
 
     A = prep(data.A)                       # (N, nx, nx, Bp)
-    AT = jnp.swapaxes(A, 1, 2)
     Bm = prep(data.B)                      # (N, nx, nu, Bp)
-    BT = jnp.swapaxes(Bm, 1, 2)
     c = prep(data.c)
-    Q = prep(data.Q)
+    Qs = prep(data.Q[:, 0])                # (nx, nx, Bp) stage Hessian
+    Qt = prep(data.Q[:, -1])               # (nx, nx, Bp) terminal
     q = prep(data.q)
-    R = prep(data.R)
+    R1 = prep(data.R[:, 0])                # (nu, nu, Bp)
     r = prep(data.r)
-    lbx = prep(data.lbx)[1:]
-    ubx = prep(data.ubx)[1:]
+    lbx = prep(data.lbx[:, 1:])
+    ubx = prep(data.ubx[:, 1:])
     lbu = prep(data.lbu)
     ubu = prep(data.ubu)
     dx0 = prep(data.dx0)
@@ -457,14 +485,13 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     grid = (Bp // LANES,)
 
     def bspec(shape):
-        # block covers full leading dims, LANES on the batch axis
         nd = len(shape)
         blk = shape[:-1] + (LANES,)
         return pl.BlockSpec(blk, lambda b: (0,) * (nd - 1) + (b,),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [bspec(x.shape) for x in
-                (A, AT, Bm, BT, c, Q, q, R, r, lbx, ubx, lbu, ubu, dx0)]
+    ins = (A, Bm, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0)
+    in_specs = [bspec(x.shape) for x in ins]
     out_shape = (
         jax.ShapeDtypeStruct((N + 1, nx, Bp), f32),
         jax.ShapeDtypeStruct((N, nu, Bp), f32),
@@ -476,41 +503,44 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
         bspec((3, Bp)),
     )
     scratch = [
-        pltpu.VMEM((N + 1, nx, nx, LANES), f32),  # P_s
-        pltpu.VMEM((N, nu, nx, LANES), f32),      # Z_s
-        pltpu.VMEM((N, nx, nu, LANES), f32),      # ZT_s
-        pltpu.VMEM((N, nu, nu, LANES), f32),      # Hinv_s
-        pltpu.VMEM((N, nu, LANES), f32),          # kff_s
-        pltpu.VMEM((N + 1, nx, LANES), f32),      # dx_s
-        pltpu.VMEM((N, nu, LANES), f32),          # du_s
-        pltpu.VMEM((N, nx, LANES), f32),          # slx
-        pltpu.VMEM((N, nx, LANES), f32),          # sux
-        pltpu.VMEM((N, nx, LANES), f32),          # lam_lx
-        pltpu.VMEM((N, nx, LANES), f32),          # lam_ux
-        pltpu.VMEM((N, nu, LANES), f32),          # slu
-        pltpu.VMEM((N, nu, LANES), f32),          # suu
-        pltpu.VMEM((N, nu, LANES), f32),          # lam_lu
-        pltpu.VMEM((N, nu, LANES), f32),          # lam_uu
-        pltpu.VMEM((N + 1, nx, LANES), f32),      # bdx
-        pltpu.VMEM((N, nu, LANES), f32),          # bdu
-        pltpu.VMEM((1, LANES), f32),              # bm
-        pltpu.VMEM((N, nx, LANES), f32),          # blam_lx
-        pltpu.VMEM((N, nx, LANES), f32),          # blam_ux
-        pltpu.VMEM((N, nu, LANES), f32),          # blam_lu
-        pltpu.VMEM((N, nu, LANES), f32),          # blam_uu
-        pltpu.VMEM((N + 1, nx, LANES), f32),      # ddx
-        pltpu.VMEM((N, nu, LANES), f32),          # ddu
-        pltpu.VMEM((N + 1, nx, LANES), f32),      # qr
-        pltpu.VMEM((N, nu, LANES), f32),          # rr
-        pltpu.VMEM((N, nx, LANES), f32),          # req
-        pltpu.VMEM((N, nx, LANES), f32),          # aslx
-        pltpu.VMEM((N, nx, LANES), f32),          # asux
-        pltpu.VMEM((N, nu, LANES), f32),          # aslu
-        pltpu.VMEM((N, nu, LANES), f32),          # asuu
-        pltpu.VMEM((N, nx, LANES), f32),          # allx
-        pltpu.VMEM((N, nx, LANES), f32),          # alux
-        pltpu.VMEM((N, nu, LANES), f32),          # allu
-        pltpu.VMEM((N, nu, LANES), f32),          # aluu
+        pltpu.VMEM((N + 1, nx, nx, LANES), jnp.float32),  # P_s
+        pltpu.VMEM((N, nu, nx, LANES), jnp.float32),      # Z_s
+        pltpu.VMEM((N, nu, nu, LANES), jnp.float32),      # Hinv_s
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # kff_s
+        pltpu.VMEM((N + 1, nx, LANES), jnp.float32),      # dx_s
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # du_s
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # slx
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # sux
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # lam_lx
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # lam_ux
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # slu
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # suu
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # lam_lu
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # lam_uu
+        pltpu.VMEM((N + 1, nx, LANES), jnp.float32),      # bdx
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # bdu
+        pltpu.VMEM((1, LANES), jnp.float32),              # bm
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # blam_lx
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # blam_ux
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # blam_lu
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # blam_uu
+        pltpu.VMEM((N + 1, nx, LANES), jnp.float32),      # ddx
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # ddu
+        pltpu.VMEM((N + 1, nx, LANES), jnp.float32),      # qr
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # rr
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # req
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # rslx
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # rsux
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # rslu
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # rsuu
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # aslx
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # asux
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # aslu
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # asuu
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # allx
+        pltpu.VMEM((N, nx, LANES), jnp.float32),          # alux
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # allu
+        pltpu.VMEM((N, nu, LANES), jnp.float32),          # aluu
     ]
 
     dx_bl, du_bl, diag = pl.pallas_call(
@@ -521,7 +551,7 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(A, AT, Bm, BT, c, Q, q, R, r, lbx, ubx, lbu, ubu, dx0)
+    )(*ins)
 
     dx = jnp.moveaxis(dx_bl, -1, 0)[:B]
     du = jnp.moveaxis(du_bl, -1, 0)[:B]
