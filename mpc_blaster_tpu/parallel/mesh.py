@@ -38,16 +38,53 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def batched_rti_step(ocp: cfg.OCPConfig, dtype=jnp.float32, jit: bool = True):
+def batched_rti_step(ocp: cfg.OCPConfig, dtype=jnp.float32, jit: bool = True,
+                     backend: str = "xla"):
     """vmap the RTI tick over a scenario batch.
 
     Returns step(spec, states, x0s) -> (u0s, states, diags); `spec` is
     shared (broadcast), states/x0s carry a leading batch axis. Use
     jax.vmap over spec too if per-scenario costs/targets differ.
+
+    backend="pallas" routes the batched QP solves through the fused
+    Pallas IPM mega-kernel (ops/pallas_ipm.py) — the fast path on real
+    TPU hardware for all-finite-bound OCPs; "xla" is the general path.
     """
+    if backend == "pallas":
+        return _batched_rti_step_pallas(ocp, dtype=dtype, jit=jit)
     step = make_rti_step(ocp, dtype=dtype, jit=False)
     batched = jax.vmap(step, in_axes=(None, 0, 0))
     return jax.jit(batched) if jit else batched
+
+
+def _batched_rti_step_pallas(ocp: cfg.OCPConfig, dtype=jnp.float32,
+                             jit: bool = True):
+    from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+    from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+    from mpc_blaster_tpu.ops.pallas_ipm import pallas_box_qp_solve
+    from mpc_blaster_tpu.sqp.rti import RTIDiagnostics, build_qp
+
+    params = BlasterParams.from_config(ocp.model, dtype)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    solver = ocp.solver
+
+    def step(spec, states, x0s):
+        qps = jax.vmap(build_qp, in_axes=(None, 0, 0, None, None))(
+            spec, states, x0s, F, params)
+        sol = pallas_box_qp_solve(qps, iters=solver.ipm_iters,
+                                  mu0=solver.ipm_mu0,
+                                  alpha_frac=solver.ipm_alpha_frac,
+                                  reg=max(solver.ipm_reg, 1e-6))
+        new_states = RTIState(xbar=states.xbar + sol.dx,
+                              ubar=states.ubar + sol.du)
+        diag = RTIDiagnostics(
+            qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
+            step_norm_x=jnp.max(jnp.abs(sol.dx), axis=(1, 2)),
+            step_norm_u=jnp.max(jnp.abs(sol.du), axis=(1, 2)),
+        )
+        return new_states.ubar[:, 0], new_states, diag
+
+    return jax.jit(step) if jit else step
 
 
 def batched_rti_step_per_scenario_spec(ocp: cfg.OCPConfig, dtype=jnp.float32,
