@@ -15,17 +15,22 @@ rank-1 outer products of leading-dim slices (`_contractT`), so each
 the BLASFEO idea (fixed-size panel kernels) mapped to TPU vector lanes
 (SURVEY.md §2.2).
 
-VMEM discipline (the 16 MB budget is the binding constraint):
-  - all stage loops are `fori_loop`s with dynamic ref indexing, so Mosaic
+VMEM discipline (the 16 MB budget is the binding constraint, incl. the
+kernel's value stack):
+  - one 128-lane batch tile per pallas_call (outer `lax.map` over tiles)
+    so input blocks are not double-buffered across grid steps;
+  - every stage loop is a `fori_loop` with dynamic ref indexing, so Mosaic
     reuses one stage's worth of stack temporaries;
   - cost Hessians are passed stage-invariant (Q_stage, Q_term, R_stage) —
-    exactly the LINEAR_LS structure of the OCP (`ocp/spec.py`); only the
-    gradients vary per stage;
+    the LINEAR_LS structure of the OCP (`ocp/spec.py`); only gradients
+    vary per stage;
+  - only the *predictor* directions are stored; corrector directions are
+    recomputed on the fly in the line-search and update passes;
   - no transposed copies are stored; transposes happen on the fly.
 
 Semantics match `qp/ipm.py` (same init, Mehrotra + Gondzio clipping,
-f32 floors, best-KKT-iterate), with ALL bounds assumed finite (true for
-the BLASTER OCP: full state+control boxes, `blastermodel.py:261-270`);
+f32 floors, best-iterate on dx/du), with ALL bounds assumed finite (true
+for the BLASTER OCP: full state+control boxes, `blastermodel.py:261-270`);
 the XLA path remains the general fallback.
 """
 from __future__ import annotations
@@ -129,9 +134,7 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 dx_s, du_s, slx_s, sux_s, lam_lx_s, lam_ux_s,
                 slu_s, suu_s, lam_lu_s, lam_uu_s,
                 bdx_s, bdu_s, bm_s,
-                blam_lx_s, blam_ux_s, blam_lu_s, blam_uu_s,
                 ddx_s, ddu_s, qr_s, rr_s, req_s,
-                rslx_s, rsux_s, rslu_s, rsuu_s,
                 aslx_s, asux_s, aslu_s, asuu_s,
                 allx_s, alux_s, allu_s, aluu_s,
                 *, N: int, nx: int, nu: int, iters: int, mu0: float,
@@ -152,55 +155,54 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         nxt = _matvec(A_ref[k], dx_s[k]) + c_ref[k]
         lb, ub = lbx_ref[k], ubx_ref[k]
         w = ub - lb
-        dx_s[k + 1] = jnp.clip(nxt, lb + 0.1 * w, ub - 0.1 * w)
+        nxt = jnp.clip(nxt, lb + 0.1 * w, ub - 0.1 * w)
+        dx_s[k + 1] = nxt
+        slx_s[k] = jnp.maximum(nxt - lb, s_min)
+        sux_s[k] = jnp.maximum(ub - nxt, s_min)
+        lam_lx_s[k] = mu0 / slx_s[k]
+        lam_ux_s[k] = mu0 / sux_s[k]
+        lbu_k, ubu_k = lbu_ref[k], ubu_ref[k]
+        wu = ubu_k - lbu_k
+        du_k = jnp.clip(jnp.zeros((nu, Bt), f32), lbu_k + 0.1 * wu,
+                        ubu_k - 0.1 * wu)
+        du_s[k] = du_k
+        slu_s[k] = jnp.maximum(du_k - lbu_k, s_min)
+        suu_s[k] = jnp.maximum(ubu_k - du_k, s_min)
+        lam_lu_s[k] = mu0 / slu_s[k]
+        lam_uu_s[k] = mu0 / suu_s[k]
         return 0
 
     jax.lax.fori_loop(0, N, init_roll, 0)
 
-    lbu_v, ubu_v = lbu_ref[...], ubu_ref[...]
-    wu = ubu_v - lbu_v
-    du0 = jnp.clip(jnp.zeros((N, nu, Bt), f32), lbu_v + 0.1 * wu,
-                   ubu_v - 0.1 * wu)
-    du_s[...] = du0
-
-    dx_tail = dx_s[...][1:]
-    slx_s[...] = jnp.maximum(dx_tail - lbx_ref[...], s_min)
-    sux_s[...] = jnp.maximum(ubx_ref[...] - dx_tail, s_min)
-    slu_s[...] = jnp.maximum(du0 - lbu_v, s_min)
-    suu_s[...] = jnp.maximum(ubu_v - du0, s_min)
-    lam_lx_s[...] = mu0 / slx_s[...]
-    lam_ux_s[...] = mu0 / sux_s[...]
-    lam_lu_s[...] = mu0 / slu_s[...]
-    lam_uu_s[...] = mu0 / suu_s[...]
-
     n_ineq = f32(2 * N * (nx + nu))
 
     def comp_sum():
-        return (jnp.sum(slx_s[...] * lam_lx_s[...], axis=(0, 1))
-                + jnp.sum(sux_s[...] * lam_ux_s[...], axis=(0, 1))
-                + jnp.sum(slu_s[...] * lam_lu_s[...], axis=(0, 1))
-                + jnp.sum(suu_s[...] * lam_uu_s[...], axis=(0, 1)))  # (B,)
+        def body(k, acc):
+            return (acc + jnp.sum(slx_s[k] * lam_lx_s[k], axis=0)
+                    + jnp.sum(sux_s[k] * lam_ux_s[k], axis=0)
+                    + jnp.sum(slu_s[k] * lam_lu_s[k], axis=0)
+                    + jnp.sum(suu_s[k] * lam_uu_s[k], axis=0))
+        return jax.lax.fori_loop(0, N, body, jnp.zeros((Bt,), f32))
 
-    def kkt(dx_ref, du_ref, llx_ref, lux_ref, llu_ref, luu_ref):
-        """(stat (B,), eq (B,)) via adjoint recursion (fori over stages)."""
-        lam0 = (_contractT_vec(Qt_ref[...], dx_ref[N]) + q_ref[N]
-                - (llx_ref[N - 1] - lux_ref[N - 1]))
+    def kkt():
+        """(stat (B,), eq (B,)) of the current iterate via adjoint sweep."""
+        lam0 = (_contractT_vec(Qt_ref[...], dx_s[N]) + q_ref[N]
+                - (lam_lx_s[N - 1] - lam_ux_s[N - 1]))
 
         def bwd(i, carry):
             lam, stat, eq = carry
             k = N - 1 - i
-            su = (_contractT_vec(R1_ref[...], du_ref[k]) + r_ref[k]
+            su = (_contractT_vec(R1_ref[...], du_s[k]) + r_ref[k]
                   + _contractT_vec(B_ref[k], lam)
-                  - (llu_ref[k] - luu_ref[k]))
+                  - (lam_lu_s[k] - lam_uu_s[k]))
             stat = jnp.maximum(stat, jnp.max(jnp.abs(su), axis=0))
-            pred = (_matvec(A_ref[k], dx_ref[k])
-                    + _matvec(B_ref[k], du_ref[k]) + c_ref[k]
-                    - dx_ref[k + 1])
+            pred = (_matvec(A_ref[k], dx_s[k])
+                    + _matvec(B_ref[k], du_s[k]) + c_ref[k] - dx_s[k + 1])
             eq = jnp.maximum(eq, jnp.max(jnp.abs(pred), axis=0))
-            lam_new = (_contractT_vec(Qs_ref[...], dx_ref[k]) + q_ref[k]
+            lam_new = (_contractT_vec(Qs_ref[...], dx_s[k]) + q_ref[k]
                        + _contractT_vec(A_ref[k], lam))
             km1 = jnp.maximum(k - 1, 0)
-            bnd = llx_ref[km1] - lux_ref[km1]
+            bnd = lam_lx_s[km1] - lam_ux_s[km1]
             lam_new = lam_new - jnp.where(k >= 1, bnd, 0.0)
             return (lam_new, stat, eq)
 
@@ -209,17 +211,21 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         return stat, eq
 
     # seed best iterate
-    st0, eq0 = kkt(dx_s, du_s, lam_lx_s, lam_ux_s, lam_lu_s, lam_uu_s)
+    st0, eq0 = kkt()
     bdx_s[...] = dx_s[...]
     bdu_s[...] = du_s[...]
     bm_s[...] = (st0 + eq0 + comp_sum() / n_ineq)[None, :]
-    blam_lx_s[...] = lam_lx_s[...]
-    blam_ux_s[...] = lam_ux_s[...]
-    blam_lu_s[...] = lam_lu_s[...]
-    blam_uu_s[...] = lam_uu_s[...]
+
+    # per-stage inline helpers -------------------------------------------
+    def rs_x(k):
+        return (slx_s[k] - (dx_s[k + 1] - lbx_ref[k]),
+                sux_s[k] - (ubx_ref[k] - dx_s[k + 1]))
+
+    def rs_u(k):
+        return (slu_s[k] - (du_s[k] - lbu_ref[k]),
+                suu_s[k] - (ubu_ref[k] - du_s[k]))
 
     def factorize():
-        """Backward matrix sweep with barrier-modified Hessians."""
         sigN = jnp.minimum(lam_lx_s[N - 1] / slx_s[N - 1]
                            + lam_ux_s[N - 1] / sux_s[N - 1], sigma_max)
         P_s[N] = Qt_ref[...] + sigN[:, None, :] * eye_x
@@ -259,35 +265,34 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
             return 0
         jax.lax.fori_loop(0, N, body, 0)
 
-    def rhs_grads(Tlx, Tux, Tlu, Tuu):
-        def gxb(k, _):
-            Qk = jnp.where(k == N, 1.0, 0.0)  # select terminal vs stage
-            g = (Qk * _contractT_vec(Qt_ref[...], dx_s[k])
-                 + (1.0 - Qk) * _contractT_vec(Qs_ref[...], dx_s[k])
-                 + q_ref[k])
-            qr_s[k] = g
-            return 0
-        jax.lax.fori_loop(0, N + 1, gxb, 0)
+    def rhs_grads(targets):
+        """Build qr_s/rr_s. targets(k) -> (Tlx, Tux, Tlu, Tuu) per stage.
 
-        def gub(k, _):
-            rr_s[k] = _contractT_vec(R1_ref[...], du_s[k]) + r_ref[k]
-            return 0
-        jax.lax.fori_loop(0, N, gub, 0)
+        Slack index k carries the bounds of STATE stage k+1 (states are
+        bounded at stages 1..N), so bx_k shifts the gradient of stage k+1;
+        stage 0 (pinned) gets no shift — same alignment as qp/ipm.py's
+        `gx.at[1:].add(bx)`.
+        """
+        qr_s[0] = _contractT_vec(Qs_ref[...], dx_s[0]) + q_ref[0]
 
-        bx = (-Tlx / slx_s[...]
-              - (lam_lx_s[...] / slx_s[...]) * rslx_s[...]
-              + Tux / sux_s[...]
-              + (lam_ux_s[...] / sux_s[...]) * rsux_s[...])
-        bu = (-Tlu / slu_s[...]
-              - (lam_lu_s[...] / slu_s[...]) * rslu_s[...]
-              + Tuu / suu_s[...]
-              + (lam_uu_s[...] / suu_s[...]) * rsuu_s[...])
-        qrv = qr_s[...]
-        qr_s[...] = jnp.concatenate([qrv[:1], qrv[1:] + bx], axis=0)
-        rr_s[...] = rr_s[...] + bu
+        def body(k, _):
+            Tlx, Tux, Tlu, Tuu = targets(k)
+            rlx, rux = rs_x(k)
+            rlu, ruu = rs_u(k)
+            bx = (-Tlx / slx_s[k] - (lam_lx_s[k] / slx_s[k]) * rlx
+                  + Tux / sux_s[k] + (lam_ux_s[k] / sux_s[k]) * rux)
+            bu = (-Tlu / slu_s[k] - (lam_lu_s[k] / slu_s[k]) * rlu
+                  + Tuu / suu_s[k] + (lam_uu_s[k] / suu_s[k]) * ruu)
+            is_term = (k + 1 == N)
+            g_stage = _contractT_vec(Qs_ref[...], dx_s[k + 1]) + q_ref[k + 1]
+            g_term = _contractT_vec(Qt_ref[...], dx_s[k + 1]) + q_ref[k + 1]
+            qr_s[k + 1] = jnp.where(is_term, g_term, g_stage) + bx
+            rr_s[k] = _contractT_vec(R1_ref[...], du_s[k]) + r_ref[k] + bu
+            return 0
+
+        jax.lax.fori_loop(0, N, body, 0)
 
     def solve_rhs():
-        """Backward vector sweep + forward rollout into ddx_s/ddu_s."""
         def bwd(i, p):
             k = N - 1 - i
             Pcp = _contractT_vec(P_s[k + 1], req_s[k]) + p
@@ -310,128 +315,158 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
         jax.lax.fori_loop(0, N, fwd, 0)
 
+    # The stage-k x bounds apply to dx_s[k+1] (stages 1..N); slack index k.
+    def slack_dirs(k):
+        """(dslx, dsux, dslu, dsuu) of the CURRENT ddx/ddu at stage k."""
+        rlx, rux = rs_x(k)
+        rlu, ruu = rs_u(k)
+        dz_x = ddx_s[k + 1]
+        dz_u = ddu_s[k]
+        return (dz_x - rlx, -dz_x - rux, dz_u - rlu, -dz_u - ruu)
+
+    def dual_dirs(k, T):
+        Tlx, Tux, Tlu, Tuu = T
+        dslx, dsux, dslu, dsuu = slack_dirs(k)
+        dllx = (Tlx - slx_s[k] * lam_lx_s[k]
+                - lam_lx_s[k] * dslx) / slx_s[k]
+        dlux = (Tux - sux_s[k] * lam_ux_s[k]
+                - lam_ux_s[k] * dsux) / sux_s[k]
+        dllu = (Tlu - slu_s[k] * lam_lu_s[k]
+                - lam_lu_s[k] * dslu) / slu_s[k]
+        dluu = (Tuu - suu_s[k] * lam_uu_s[k]
+                - lam_uu_s[k] * dsuu) / suu_s[k]
+        return (dslx, dsux, dslu, dsuu, dllx, dlux, dllu, dluu)
+
+    def min_ratio(v, dv, tau, acc):
+        r = jnp.where(dv < 0, -tau * v / jnp.where(dv < 0, dv, -1.0), _BIG)
+        return jnp.minimum(acc, jnp.min(r, axis=0))
+
+    def alphas_from(targets, tau):
+        """Fraction-to-boundary over all stages with on-the-fly dirs."""
+        def body(k, carry):
+            a_p, a_d = carry
+            (dslx, dsux, dslu, dsuu,
+             dllx, dlux, dllu, dluu) = dual_dirs(k, targets(k))
+            a_p = min_ratio(slx_s[k], dslx, tau, a_p)
+            a_p = min_ratio(sux_s[k], dsux, tau, a_p)
+            a_p = min_ratio(slu_s[k], dslu, tau, a_p)
+            a_p = min_ratio(suu_s[k], dsuu, tau, a_p)
+            a_d = min_ratio(lam_lx_s[k], dllx, tau, a_d)
+            a_d = min_ratio(lam_ux_s[k], dlux, tau, a_d)
+            a_d = min_ratio(lam_lu_s[k], dllu, tau, a_d)
+            a_d = min_ratio(lam_uu_s[k], dluu, tau, a_d)
+            return (a_p, a_d)
+
+        ones = jnp.ones((Bt,), f32)
+        a_p, a_d = jax.lax.fori_loop(0, N, body, (ones, ones))
+        return jnp.minimum(a_p, 1.0), jnp.minimum(a_d, 1.0)
+
     def ipm_iteration(_it, _carry):
         mu_cur = comp_sum() / n_ineq                     # (B,)
-
-        rslx_s[...] = slx_s[...] - (dx_s[...][1:] - lbx_ref[...])
-        rsux_s[...] = sux_s[...] - (ubx_ref[...] - dx_s[...][1:])
-        rslu_s[...] = slu_s[...] - (du_s[...] - lbu_ref[...])
-        rsuu_s[...] = suu_s[...] - (ubu_ref[...] - du_s[...])
 
         compute_req()
         factorize()
 
-        def dirs(Tlx, Tux, Tlu, Tuu):
-            rhs_grads(Tlx, Tux, Tlu, Tuu)
-            solve_rhs()
-            ddx_t = ddx_s[...][1:]
-            ddu_t = ddu_s[...]
-            dslx = ddx_t - rslx_s[...]
-            dsux = -ddx_t - rsux_s[...]
-            dslu = ddu_t - rslu_s[...]
-            dsuu = -ddu_t - rsuu_s[...]
-            aslx_s[...] = dslx
-            asux_s[...] = dsux
-            aslu_s[...] = dslu
-            asuu_s[...] = dsuu
-            allx_s[...] = (Tlx - slx_s[...] * lam_lx_s[...]
-                           - lam_lx_s[...] * dslx) / slx_s[...]
-            alux_s[...] = (Tux - sux_s[...] * lam_ux_s[...]
-                           - lam_ux_s[...] * dsux) / sux_s[...]
-            allu_s[...] = (Tlu - slu_s[...] * lam_lu_s[...]
-                           - lam_lu_s[...] * dslu) / slu_s[...]
-            aluu_s[...] = (Tuu - suu_s[...] * lam_uu_s[...]
-                           - lam_uu_s[...] * dsuu) / suu_s[...]
-
-        def max_step(v, dv, tau):
-            ratio = jnp.where(dv < 0, -tau * v / jnp.where(dv < 0, dv, -1.0),
-                              _BIG)
-            return jnp.min(ratio, axis=(0, 1))           # (B,)
-
-        def alphas(tau):
-            a_p = jnp.minimum(jnp.minimum(
-                max_step(slx_s[...], aslx_s[...], tau),
-                max_step(sux_s[...], asux_s[...], tau)), jnp.minimum(
-                max_step(slu_s[...], aslu_s[...], tau),
-                max_step(suu_s[...], asuu_s[...], tau)))
-            a_d = jnp.minimum(jnp.minimum(
-                max_step(lam_lx_s[...], allx_s[...], tau),
-                max_step(lam_ux_s[...], alux_s[...], tau)), jnp.minimum(
-                max_step(lam_lu_s[...], allu_s[...], tau),
-                max_step(lam_uu_s[...], aluu_s[...], tau)))
-            return (jnp.minimum(a_p, 1.0)[None, None, :],
-                    jnp.minimum(a_d, 1.0)[None, None, :])
-
         # ---- predictor (affine scaling, target 0) ----
-        zx = jnp.zeros((N, nx, Bt), f32)
-        zu = jnp.zeros((N, nu, Bt), f32)
-        dirs(zx, zx, zu, zu)
-        a_p_aff, a_d_aff = alphas(1.0)
+        zx = jnp.zeros((nx, Bt), f32)
+        zu = jnp.zeros((nu, Bt), f32)
 
-        mu_aff = ((jnp.sum((slx_s[...] + a_p_aff * aslx_s[...])
-                           * (lam_lx_s[...] + a_d_aff * allx_s[...]),
-                           axis=(0, 1))
-                   + jnp.sum((sux_s[...] + a_p_aff * asux_s[...])
-                             * (lam_ux_s[...] + a_d_aff * alux_s[...]),
-                             axis=(0, 1))
-                   + jnp.sum((slu_s[...] + a_p_aff * aslu_s[...])
-                             * (lam_lu_s[...] + a_d_aff * allu_s[...]),
-                             axis=(0, 1))
-                   + jnp.sum((suu_s[...] + a_p_aff * asuu_s[...])
-                             * (lam_uu_s[...] + a_d_aff * aluu_s[...]),
-                             axis=(0, 1))) / n_ineq)
+        def zero_targets(k):
+            return (zx, zx, zu, zu)
+
+        rhs_grads(zero_targets)
+        solve_rhs()
+
+        # store predictor dirs (needed for Mehrotra targets)
+        def store_aff(k, _):
+            (dslx, dsux, dslu, dsuu,
+             dllx, dlux, dllu, dluu) = dual_dirs(k, zero_targets(k))
+            aslx_s[k] = dslx; asux_s[k] = dsux
+            aslu_s[k] = dslu; asuu_s[k] = dsuu
+            allx_s[k] = dllx; alux_s[k] = dlux
+            allu_s[k] = dllu; aluu_s[k] = dluu
+            return 0
+
+        jax.lax.fori_loop(0, N, store_aff, 0)
+
+        a_p_aff, a_d_aff = alphas_from(zero_targets, 1.0)
+
+        def mu_aff_sum(k, acc):
+            ap = a_p_aff[None, :]
+            ad = a_d_aff[None, :]
+            return (acc
+                    + jnp.sum((slx_s[k] + ap * aslx_s[k])
+                              * (lam_lx_s[k] + ad * allx_s[k]), axis=0)
+                    + jnp.sum((sux_s[k] + ap * asux_s[k])
+                              * (lam_ux_s[k] + ad * alux_s[k]), axis=0)
+                    + jnp.sum((slu_s[k] + ap * aslu_s[k])
+                              * (lam_lu_s[k] + ad * allu_s[k]), axis=0)
+                    + jnp.sum((suu_s[k] + ap * asuu_s[k])
+                              * (lam_uu_s[k] + ad * aluu_s[k]), axis=0))
+
+        mu_aff = jax.lax.fori_loop(0, N, mu_aff_sum,
+                                   jnp.zeros((Bt,), f32)) / n_ineq
         sigma = jnp.clip((mu_aff / jnp.maximum(mu_cur, mu_min)) ** 3,
                          0.0, 1.0)
-        mu_t = jnp.maximum(sigma * mu_cur, mu_min)[None, None, :]
+        mu_t = jnp.maximum(sigma * mu_cur, mu_min)[None, :]   # (1, B)
 
-        def target(ds, dl):
+        def clip_t(ds, dl):
             return jnp.clip(mu_t - ds * dl, 0.05 * mu_t, 20.0 * mu_t)
 
-        # ---- corrector (centering + Gondzio-clipped 2nd order) ----
-        Tlx = target(aslx_s[...], allx_s[...])
-        Tux = target(asux_s[...], alux_s[...])
-        Tlu = target(aslu_s[...], allu_s[...])
-        Tuu = target(asuu_s[...], aluu_s[...])
-        dirs(Tlx, Tux, Tlu, Tuu)
-        a_p, a_d = alphas(alpha_frac)
+        def cor_targets(k):
+            return (clip_t(aslx_s[k], allx_s[k]),
+                    clip_t(asux_s[k], alux_s[k]),
+                    clip_t(aslu_s[k], allu_s[k]),
+                    clip_t(asuu_s[k], aluu_s[k]))
 
-        # ---- update (stage-0 state stays pinned; ddx[0] == 0 anyway) ----
-        ddxv = ddx_s[...]
-        dx_s[...] = dx_s[...] + jnp.concatenate(
-            [ddxv[0:1] * 0.0, a_p * ddxv[1:]], axis=0)
-        du_s[...] = du_s[...] + a_p * ddu_s[...]
-        slx_s[...] = jnp.maximum(slx_s[...] + a_p * aslx_s[...], eps_s)
-        sux_s[...] = jnp.maximum(sux_s[...] + a_p * asux_s[...], eps_s)
-        slu_s[...] = jnp.maximum(slu_s[...] + a_p * aslu_s[...], eps_s)
-        suu_s[...] = jnp.maximum(suu_s[...] + a_p * asuu_s[...], eps_s)
-        lam_lx_s[...] = jnp.clip(lam_lx_s[...] + a_d * allx_s[...],
-                                 0.0, lam_max)
-        lam_ux_s[...] = jnp.clip(lam_ux_s[...] + a_d * alux_s[...],
-                                 0.0, lam_max)
-        lam_lu_s[...] = jnp.clip(lam_lu_s[...] + a_d * allu_s[...],
-                                 0.0, lam_max)
-        lam_uu_s[...] = jnp.clip(lam_uu_s[...] + a_d * aluu_s[...],
-                                 0.0, lam_max)
+        # ---- corrector ----
+        rhs_grads(cor_targets)
+        solve_rhs()
+        a_p, a_d = alphas_from(cor_targets, alpha_frac)
+        ap = a_p[None, :]
+        ad = a_d[None, :]
 
-        st, eq = kkt(dx_s, du_s, lam_lx_s, lam_ux_s, lam_lu_s, lam_uu_s)
+        # ---- update (per stage; stage-0 state pinned) ----
+        def update(k, _):
+            T = cor_targets(k)
+            (dslx, dsux, dslu, dsuu,
+             dllx, dlux, dllu, dluu) = dual_dirs(k, T)
+            dx_s[k + 1] = dx_s[k + 1] + ap * ddx_s[k + 1]
+            du_s[k] = du_s[k] + ap * ddu_s[k]
+            slx_s[k] = jnp.maximum(slx_s[k] + ap * dslx, eps_s)
+            sux_s[k] = jnp.maximum(sux_s[k] + ap * dsux, eps_s)
+            slu_s[k] = jnp.maximum(slu_s[k] + ap * dslu, eps_s)
+            suu_s[k] = jnp.maximum(suu_s[k] + ap * dsuu, eps_s)
+            lam_lx_s[k] = jnp.clip(lam_lx_s[k] + ad * dllx, 0.0, lam_max)
+            lam_ux_s[k] = jnp.clip(lam_ux_s[k] + ad * dlux, 0.0, lam_max)
+            lam_lu_s[k] = jnp.clip(lam_lu_s[k] + ad * dllu, 0.0, lam_max)
+            lam_uu_s[k] = jnp.clip(lam_uu_s[k] + ad * dluu, 0.0, lam_max)
+            return 0
+
+        jax.lax.fori_loop(0, N, update, 0)
+
+        st, eq = kkt()
         m = st + eq + comp_sum() / n_ineq                # (B,)
         better = (m < bm_s[0])[None, None, :]
         bdx_s[...] = jnp.where(better, dx_s[...], bdx_s[...])
         bdu_s[...] = jnp.where(better, du_s[...], bdu_s[...])
         bm_s[...] = jnp.where(better[0], m[None, :], bm_s[...])
-        blam_lx_s[...] = jnp.where(better, lam_lx_s[...], blam_lx_s[...])
-        blam_ux_s[...] = jnp.where(better, lam_ux_s[...], blam_ux_s[...])
-        blam_lu_s[...] = jnp.where(better, lam_lu_s[...], blam_lu_s[...])
-        blam_uu_s[...] = jnp.where(better, lam_uu_s[...], blam_uu_s[...])
         return _carry
 
     jax.lax.fori_loop(0, iters, ipm_iteration, 0)
 
     dx_out[...] = bdx_s[...]
     du_out[...] = bdu_s[...]
-    stb, eqb = kkt(bdx_s, bdu_s, blam_lx_s, blam_ux_s, blam_lu_s,
-                   blam_uu_s)
-    diag_out[...] = jnp.stack([stb, eqb, bm_s[0]], axis=0)
+    # Final diagnostics on the RETURNED iterate: copy best into the state
+    # refs and rerun the KKT sweep (duals are last-iterate — stat is an
+    # estimate, eq is exact).
+    dx_s[...] = bdx_s[...]
+    du_s[...] = bdu_s[...]
+    stf, eqf = kkt()
+    # last-iterate duals can be garbage past convergence; fall back to the
+    # best merit (an upper bound on the true stationarity residual)
+    stf = jnp.where(jnp.isfinite(stf), jnp.minimum(stf, bm_s[0]), bm_s[0])
+    diag_out[...] = jnp.stack([stf, eqf, bm_s[0]], axis=0)
 
 
 # ------------------------------ host wrapper ------------------------------
@@ -446,6 +481,8 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     Requirements (the RTI/LINEAR_LS structure): stage cost Hessians
     identical across stages 0..N-1 (Q[:, 0] used) with a distinct terminal
     Q[:, N]; R identical across stages; ALL bounds finite. f32.
+    `mu` in the result carries the best KKT merit (stat+eq+comp) per
+    problem; kkt_stat/kkt_eq are folded into it.
     """
     B = data.A.shape[0]
     N, nx, nu = data.A.shape[1], data.A.shape[-1], data.B.shape[-1]
@@ -457,22 +494,24 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
         x = jnp.asarray(x, f32)
         if pad:
             x = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
-        return jnp.moveaxis(x, 0, -1)   # batch-last
+        # batch-last, then split into lane tiles: (T, ..., LANES)
+        x = jnp.moveaxis(x, 0, -1)
+        x = x.reshape(x.shape[:-1] + (-1, LANES))
+        return jnp.moveaxis(x, -2, 0)
 
-    A = prep(data.A)                       # (N, nx, nx, Bp)
-    Bm = prep(data.B)                      # (N, nx, nu, Bp)
+    A = prep(data.A)                       # (T, N, nx, nx, LANES)
+    Bm = prep(data.B)
     c = prep(data.c)
-    Qs = prep(data.Q[:, 0])                # (nx, nx, Bp) stage Hessian
-    Qt = prep(data.Q[:, -1])               # (nx, nx, Bp) terminal
+    Qs = prep(data.Q[:, 0])
+    Qt = prep(data.Q[:, -1])
     q = prep(data.q)
-    R1 = prep(data.R[:, 0])                # (nu, nu, Bp)
+    R1 = prep(data.R[:, 0])
     r = prep(data.r)
     lbx = prep(data.lbx[:, 1:])
     ubx = prep(data.ubx[:, 1:])
     lbu = prep(data.lbu)
     ubu = prep(data.ubu)
     dx0 = prep(data.dx0)
-    Bp = A.shape[-1]
 
     mu_min, s_min = 1e-7, 1e-3
     sigma_max, lam_max, eps_s = 1e7, 1e7, 1e-9
@@ -482,79 +521,69 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
         alpha_frac=alpha_frac, reg=reg, s_min=s_min, mu_min=mu_min,
         sigma_max=sigma_max, lam_max=lam_max, eps_s=eps_s)
 
-    grid = (Bp // LANES,)
+    def vspec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def bspec(shape):
-        nd = len(shape)
-        blk = shape[:-1] + (LANES,)
-        return pl.BlockSpec(blk, lambda b: (0,) * (nd - 1) + (b,),
-                            memory_space=pltpu.VMEM)
-
-    ins = (A, Bm, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0)
-    in_specs = [bspec(x.shape) for x in ins]
     out_shape = (
-        jax.ShapeDtypeStruct((N + 1, nx, Bp), f32),
-        jax.ShapeDtypeStruct((N, nu, Bp), f32),
-        jax.ShapeDtypeStruct((3, Bp), f32),
-    )
-    out_specs = (
-        bspec((N + 1, nx, Bp)),
-        bspec((N, nu, Bp)),
-        bspec((3, Bp)),
+        jax.ShapeDtypeStruct((N + 1, nx, LANES), f32),
+        jax.ShapeDtypeStruct((N, nu, LANES), f32),
+        jax.ShapeDtypeStruct((3, LANES), f32),
     )
     scratch = [
-        pltpu.VMEM((N + 1, nx, nx, LANES), jnp.float32),  # P_s
-        pltpu.VMEM((N, nu, nx, LANES), jnp.float32),      # Z_s
-        pltpu.VMEM((N, nu, nu, LANES), jnp.float32),      # Hinv_s
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # kff_s
-        pltpu.VMEM((N + 1, nx, LANES), jnp.float32),      # dx_s
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # du_s
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # slx
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # sux
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # lam_lx
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # lam_ux
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # slu
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # suu
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # lam_lu
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # lam_uu
-        pltpu.VMEM((N + 1, nx, LANES), jnp.float32),      # bdx
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # bdu
-        pltpu.VMEM((1, LANES), jnp.float32),              # bm
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # blam_lx
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # blam_ux
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # blam_lu
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # blam_uu
-        pltpu.VMEM((N + 1, nx, LANES), jnp.float32),      # ddx
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # ddu
-        pltpu.VMEM((N + 1, nx, LANES), jnp.float32),      # qr
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # rr
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # req
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # rslx
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # rsux
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # rslu
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # rsuu
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # aslx
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # asux
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # aslu
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # asuu
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # allx
-        pltpu.VMEM((N, nx, LANES), jnp.float32),          # alux
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # allu
-        pltpu.VMEM((N, nu, LANES), jnp.float32),          # aluu
+        pltpu.VMEM((N + 1, nx, nx, LANES), f32),  # P_s
+        pltpu.VMEM((N, nu, nx, LANES), f32),      # Z_s
+        pltpu.VMEM((N, nu, nu, LANES), f32),      # Hinv_s
+        pltpu.VMEM((N, nu, LANES), f32),          # kff_s
+        pltpu.VMEM((N + 1, nx, LANES), f32),      # dx_s
+        pltpu.VMEM((N, nu, LANES), f32),          # du_s
+        pltpu.VMEM((N, nx, LANES), f32),          # slx
+        pltpu.VMEM((N, nx, LANES), f32),          # sux
+        pltpu.VMEM((N, nx, LANES), f32),          # lam_lx
+        pltpu.VMEM((N, nx, LANES), f32),          # lam_ux
+        pltpu.VMEM((N, nu, LANES), f32),          # slu
+        pltpu.VMEM((N, nu, LANES), f32),          # suu
+        pltpu.VMEM((N, nu, LANES), f32),          # lam_lu
+        pltpu.VMEM((N, nu, LANES), f32),          # lam_uu
+        pltpu.VMEM((N + 1, nx, LANES), f32),      # bdx
+        pltpu.VMEM((N, nu, LANES), f32),          # bdu
+        pltpu.VMEM((1, LANES), f32),              # bm
+        pltpu.VMEM((N + 1, nx, LANES), f32),      # ddx
+        pltpu.VMEM((N, nu, LANES), f32),          # ddu
+        pltpu.VMEM((N + 1, nx, LANES), f32),      # qr
+        pltpu.VMEM((N, nu, LANES), f32),          # rr
+        pltpu.VMEM((N, nx, LANES), f32),          # req
+        pltpu.VMEM((N, nx, LANES), f32),          # aslx
+        pltpu.VMEM((N, nx, LANES), f32),          # asux
+        pltpu.VMEM((N, nu, LANES), f32),          # aslu
+        pltpu.VMEM((N, nu, LANES), f32),          # asuu
+        pltpu.VMEM((N, nx, LANES), f32),          # allx
+        pltpu.VMEM((N, nx, LANES), f32),          # alux
+        pltpu.VMEM((N, nu, LANES), f32),          # allu
+        pltpu.VMEM((N, nu, LANES), f32),          # aluu
     ]
 
-    dx_bl, du_bl, diag = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        in_specs=[vspec()] * 13,
+        out_specs=tuple(vspec() for _ in range(3)),
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*ins)
+    )
 
-    dx = jnp.moveaxis(dx_bl, -1, 0)[:B]
-    du = jnp.moveaxis(du_bl, -1, 0)[:B]
-    diag = jnp.moveaxis(diag, -1, 0)[:B]
+    def one_tile(args):
+        return call(*args)
+
+    dx_bl, du_bl, diag = jax.lax.map(
+        one_tile, (A, Bm, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0))
+
+    def unprep(x):  # (T, ..., LANES) -> (B, ...)
+        x = jnp.moveaxis(x, 0, -2)
+        x = x.reshape(x.shape[:-2] + (-1,))
+        return jnp.moveaxis(x, -1, 0)[:B]
+
+    dx = unprep(dx_bl)
+    du = unprep(du_bl)
+    diag = unprep(diag)
     return QPSolution(dx=dx, du=du, kkt_stat=diag[:, 0], kkt_eq=diag[:, 1],
                       mu=diag[:, 2])
