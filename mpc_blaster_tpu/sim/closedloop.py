@@ -42,8 +42,21 @@ class ClosedLoopResult(NamedTuple):
 def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
                 n_steps: int, plant_params: Optional[jnp.ndarray] = None,
                 dtype=jnp.float32, plant_substeps: int = 1,
-                rti0: Optional[RTIState] = None) -> ClosedLoopResult:
-    """Run `n_steps` control ticks from x0. jit-compiled end to end."""
+                rti0: Optional[RTIState] = None,
+                poc_mode: str = "frozen",
+                poc_cfg: Optional[cfg.PocSolverConfig] = None
+                ) -> ClosedLoopResult:
+    """Run `n_steps` control ticks from x0. jit-compiled end to end.
+
+    poc_mode:
+      - "frozen": stage parameters from `spec` are used unchanged for the
+        whole run — the reference's behavior (`simulation_blaster.py:37-39`
+        computes POC Jacobians once before the loop; SURVEY.md §3.1).
+      - "online": the jet POC Jacobians are re-linearized at the CURRENT
+        vehicle pose every tick, on device, inside the scan — a capability
+        the reference lacks (its FD pipeline was too slow to run per tick;
+        our closed-form jacfwd solve costs microseconds).
+    """
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     F_plant = discrete_dynamics(blaster_ode, ocp.dt, num_steps=plant_substeps)
@@ -59,11 +72,28 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
 
     from mpc_blaster_tpu.ocp.spec import total_cost
 
+    if poc_mode == "online":
+        from mpc_blaster_tpu.dynamics.blaster import pack_stage_params
+        from mpc_blaster_tpu.poc.solver import poc_jacobians
+        pc = poc_cfg or cfg.PocSolverConfig()
+        t_blast = spec.stage_params[0, -1]
+
+        def stage_params_for(x):
+            j_mot, j_eul, j_pos = poc_jacobians(
+                x[3:6], x[12:14], x[0:3], pc.stream_velocity, pc.drag,
+                pc.newton_iters)
+            p = pack_stage_params(j_mot, j_eul, j_pos, t_blast)
+            return jnp.tile(p[None].astype(dtype), (spec.horizon, 1))
+    else:
+        def stage_params_for(x):
+            return spec.stage_params
+
     def tick(carry, _):
         state, x = carry
-        u0, state_new, diag = rti_step(spec, state, x, params, F, solver)
+        spec_t = spec._replace(stage_params=stage_params_for(x))
+        u0, state_new, diag = rti_step(spec_t, state, x, params, F, solver)
         x_next = F_plant(x, u0, plant_params, params)
-        cost = total_cost(spec, state_new.xbar, state_new.ubar)
+        cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
         out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
         return (state_new, x_next), out
 
@@ -75,10 +105,12 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
 
 
 def make_closed_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
-                     plant_substeps: int = 1):
+                     plant_substeps: int = 1, poc_mode: str = "frozen",
+                     poc_cfg: Optional[cfg.PocSolverConfig] = None):
     """jit-compiled closed-loop runner with static config."""
     fn = partial(closed_loop, ocp=ocp, n_steps=n_steps, dtype=dtype,
-                 plant_substeps=plant_substeps)
+                 plant_substeps=plant_substeps, poc_mode=poc_mode,
+                 poc_cfg=poc_cfg)
 
     @jax.jit
     def run(spec: OCPSpec, x0: jnp.ndarray):
@@ -112,16 +144,20 @@ def preset_stage_params(preset: cfg.Preset, dtype=jnp.float32):
 
 def run_preset(preset: cfg.Preset, n_steps: Optional[int] = None,
                dtype=jnp.float32, stage_params=None,
-               with_poc: bool = False) -> ClosedLoopResult:
+               with_poc: bool = False,
+               poc_mode: str = "frozen") -> ClosedLoopResult:
     """Convenience entry: reproduce a reference entry point end to end.
 
     with_poc=True computes the POC Jacobians through the jet solver first,
     exactly like `simulation_blaster.py` (slower first call; jit-cached).
+    poc_mode="online" re-linearizes POC at the live pose every tick
+    (beyond-reference capability).
     """
     n = n_steps if n_steps is not None else preset.loop.n_steps
-    if stage_params is None and with_poc:
+    if stage_params is None and (with_poc or poc_mode == "online"):
         stage_params = preset_stage_params(preset, dtype)
     spec = build_spec(preset.ocp, yref=preset.loop.yref,
                       stage_params=stage_params, dtype=dtype)
-    run = make_closed_loop(preset.ocp, n, dtype=dtype)
+    run = make_closed_loop(preset.ocp, n, dtype=dtype, poc_mode=poc_mode,
+                           poc_cfg=preset.poc)
     return run(spec, jnp.asarray(preset.loop.x0, dtype))
