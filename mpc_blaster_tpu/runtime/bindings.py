@@ -61,6 +61,14 @@ def load_native() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.blaster_qp_solve_batch.restype = ctypes.c_int
+        lib.blaster_qp_solve_batch.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _D, _D, _D, _D, _D, _D, _D, _D, _D, _D, _D, _D,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            _D, _D, _D, _D, _D,
+        ]
         lib.rt_rate_create.restype = ctypes.c_void_p
         lib.rt_rate_create.argtypes = [ctypes.c_double]
         lib.rt_rate_destroy.argtypes = [ctypes.c_void_p]
@@ -120,6 +128,37 @@ class NativeQPSolver:
             ctypes.byref(kkt_stat), ctypes.byref(kkt_eq), ctypes.byref(mu))
         stats = {"status": status, "kkt_stat": kkt_stat.value,
                  "kkt_eq": kkt_eq.value, "merit_comp": mu.value}
+        return out_dx, out_du, stats
+
+    def solve_batch(self, data, n_threads: int = 0
+                    ) -> Tuple[np.ndarray, np.ndarray, dict]:
+        """Threaded batch solve: data fields carry a leading batch axis.
+
+        n_threads=0 uses all hardware threads. The host-CPU analog of the
+        TPU scenario batch (useful for flight computers simulating
+        disturbance fans without an accelerator).
+        """
+        import os as _os
+        if n_threads <= 0:
+            n_threads = _os.cpu_count() or 1
+
+        def arr(x):
+            return np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+        A, B, c = arr(data.A), arr(data.B), arr(data.c)
+        Bn, N, nx, nu = A.shape[0], A.shape[1], A.shape[2], B.shape[3]
+        out_dx = np.zeros((Bn, N + 1, nx))
+        out_du = np.zeros((Bn, N, nu))
+        kkt_stat = np.zeros(Bn)
+        kkt_eq = np.zeros(Bn)
+        mu = np.zeros(Bn)
+        status = self._lib.blaster_qp_solve_batch(
+            Bn, n_threads, N, nx, nu, A, B, c, arr(data.Q), arr(data.q),
+            arr(data.R), arr(data.r), arr(data.lbx), arr(data.ubx),
+            arr(data.lbu), arr(data.ubu), arr(data.dx0), self.iters,
+            self.mu0, self.alpha_frac, self.reg, out_dx, out_du, kkt_stat,
+            kkt_eq, mu)
+        stats = {"status": status, "kkt_stat": kkt_stat, "kkt_eq": kkt_eq,
+                 "merit_comp": mu}
         return out_dx, out_du, stats
 
 

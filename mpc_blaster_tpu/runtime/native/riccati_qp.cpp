@@ -687,3 +687,52 @@ int blaster_qp_solve(int N, int nx, int nu, const double* A, const double* B,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched multi-threaded entry: scenario parallelism on the host CPU
+// (the deployment analog of the TPU vmap/shard_map batch axis).
+
+#include <atomic>
+#include <thread>
+
+extern "C" {
+
+int blaster_qp_solve_batch(int batch, int n_threads, int N, int nx, int nu,
+                           const double* A, const double* B, const double* c,
+                           const double* Q, const double* q, const double* R,
+                           const double* r, const double* lbx,
+                           const double* ubx, const double* lbu,
+                           const double* ubu, const double* dx0, int iters,
+                           double mu0, double alpha_frac, double reg,
+                           double* out_dx, double* out_du,
+                           double* out_kkt_stat, double* out_kkt_eq,
+                           double* out_mu) {
+  if (n_threads <= 0) n_threads = 1;
+  const long sA = (long)N * nx * nx, sB = (long)N * nx * nu;
+  const long sc = (long)N * nx, sQ = (long)(N + 1) * nx * nx;
+  const long sq = (long)(N + 1) * nx, sR = (long)N * nu * nu;
+  const long sr = (long)N * nu, sbx = (long)(N + 1) * nx;
+  const long sbu = (long)N * nu, sx0 = nx;
+  const long sdx = (long)(N + 1) * nx, sdu = (long)N * nu;
+  std::atomic<int> status{0};
+  std::atomic<long> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      long i = next.fetch_add(1);
+      if (i >= batch) return;
+      int st = blaster_qp_solve(
+          N, nx, nu, A + i * sA, B + i * sB, c + i * sc, Q + i * sQ,
+          q + i * sq, R + i * sR, r + i * sr, lbx + i * sbx, ubx + i * sbx,
+          lbu + i * sbu, ubu + i * sbu, dx0 + i * sx0, iters, mu0,
+          alpha_frac, reg, out_dx + i * sdx, out_du + i * sdu,
+          out_kkt_stat + i, out_kkt_eq + i, out_mu + i);
+      if (st != 0) status.store(st);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return status.load();
+}
+
+}  // extern "C"

@@ -105,3 +105,18 @@ def test_pose_ring_latest_and_drain():
     # capacity 8: the oldest 4 were overwritten
     assert len(drained) == 8
     assert drained[0][0] == 4.0 and drained[-1][0] == 11.0
+
+
+def test_native_batch_solve_threads():
+    """Threaded batch entry matches per-problem solves."""
+    import jax
+    datas = [_random_qp(seed=s, bound_scale=2.0) for s in range(6)]
+    stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                           *datas)
+    native = NativeQPSolver(iters=15)
+    dx_b, du_b, stats = native.solve_batch(stacked, n_threads=3)
+    assert stats["status"] == 0
+    for i, d in enumerate(datas):
+        dx_i, du_i, _ = native.solve(d)
+        np.testing.assert_allclose(du_b[i], du_i, atol=1e-12)
+    assert (stats["kkt_stat"] < 1e-6).all()
