@@ -35,6 +35,21 @@ def _timeit(fn, reps=3):
 
 
 def main():
+    import sys
+
+    # Persistent compilation cache: first run pays the (remote) compiles,
+    # subsequent runs — including the driver's end-of-round bench — reuse
+    # them and finish in seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     from mpc_blaster_tpu import config as cfg
     from mpc_blaster_tpu.ocp.spec import build_spec
     from mpc_blaster_tpu.sqp.rti import init_rti_state, make_rti_step
@@ -64,6 +79,7 @@ def main():
     K = 10
     for backend in (["xla", "pallas"] if pallas_available() else ["xla"]):
         try:
+            log(f"bench: compiling {backend} batched chain (B={B}, K={K})")
             step = batched_rti_step(ocp, dtype=dtype, jit=False,
                                     backend=backend)
 
@@ -78,6 +94,7 @@ def main():
 
             dt_total = _timeit(lambda: k_ticks(spec, states, x0s))
             results[backend] = (B * K) / dt_total
+            log(f"bench: {backend} = {results[backend]:.0f} solves/s")
         except Exception as e:  # pragma: no cover - report, don't die
             results[backend] = None
             results[f"{backend}_error"] = str(e)[:200]
@@ -88,8 +105,9 @@ def main():
     best_backend = "pallas" if results.get("pallas") == best else "xla"
 
     # ---- single-trajectory on-device latency (chained scan, XLA path) ----
+    log("bench: compiling single-trajectory latency chain")
     single_step = make_rti_step(ocp, dtype=dtype, jit=False)
-    K2 = 64
+    K2 = 32
 
     @jax.jit
     def chain(spec, st, x0):
