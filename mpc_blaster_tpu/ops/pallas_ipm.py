@@ -129,8 +129,8 @@ def _chol_inverse_lanes(M):
 
 def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 lbx_ref, ubx_ref, lbu_ref, ubu_ref, dx0_ref,
-                dx_out, du_out, diag_out,
-                P_s, Z_s, Hinv_s, kff_s,
+                dx_out, du_out, diag_out, P_hbm,
+                P_s, psem, Z_s, Hinv_s, kff_s,
                 dx_s, du_s, slx_s, sux_s, lam_lx_s, lam_ux_s,
                 slu_s, suu_s, lam_lu_s, lam_uu_s,
                 bdx_s, bdu_s, bm_s,
@@ -139,7 +139,8 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 allx_s, alux_s, allu_s, aluu_s,
                 *, N: int, nx: int, nu: int, iters: int, mu0: float,
                 alpha_frac: float, reg: float, s_min: float, mu_min: float,
-                sigma_max: float, lam_max: float, eps_s: float):
+                sigma_max: float, lam_max: float, eps_s: float,
+                stream_p: bool):
     f32 = jnp.float32
     Bt = dx0_ref.shape[-1]
 
@@ -225,38 +226,77 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         return (slu_s[k] - (du_s[k] - lbu_ref[k]),
                 suu_s[k] - (ubu_ref[k] - du_s[k]))
 
-    def factorize():
+    def _stage_factor(P, k):
+        """One backward Riccati stage: P_{k+1} -> (P_k, Z_k, Hinv_k)."""
+        A_k = A_ref[k]
+        B_k = B_ref[k]
+        PA = _contractT(P, A_k)                    # P'A = PA (sym)
+        PB = _contractT(P, B_k)
+        sig_u = jnp.minimum(lam_lu_s[k] / slu_s[k]
+                            + lam_uu_s[k] / suu_s[k], sigma_max)
+        Huu = (_contractT(B_k, PB) + R1_ref[...] + reg * eye_u
+               + sig_u[:, None, :] * eye_u)
+        Hux = _contractT(B_k, PA)                  # (nu, nx, B)
+        Hinv = _chol_inverse_lanes(Huu)
+        Z = _contractT(Hinv, Hux)                  # Hinv Hux = -K
+        Pk = Qs_ref[...] + _contractT(A_k, PA) - _contractT(Hux, Z)
+        km1 = jnp.maximum(k - 1, 0)
+        sig_x = jnp.minimum(lam_lx_s[km1] / slx_s[km1]
+                            + lam_ux_s[km1] / sux_s[km1], sigma_max)
+        sig_x = jnp.where(k >= 1, sig_x, 0.0)
+        Pk = Pk + sig_x[:, None, :] * eye_x
+        Pk = 0.5 * (Pk + jnp.swapaxes(Pk, 0, 1))
+        Z_s[k] = Z
+        Hinv_s[k] = Hinv
+        return Pk
+
+    def _terminal_P():
         sigN = jnp.minimum(lam_lx_s[N - 1] / slx_s[N - 1]
                            + lam_ux_s[N - 1] / sux_s[N - 1], sigma_max)
-        P_s[N] = Qt_ref[...] + sigN[:, None, :] * eye_x
+        return Qt_ref[...] + sigN[:, None, :] * eye_x
 
-        def bwd(i, _):
-            k = N - 1 - i
-            P = P_s[k + 1]
-            A_k = A_ref[k]
-            B_k = B_ref[k]
-            PA = _contractT(P, A_k)                    # P'A = PA (sym)
-            PB = _contractT(P, B_k)
-            sig_u = jnp.minimum(lam_lu_s[k] / slu_s[k]
-                                + lam_uu_s[k] / suu_s[k], sigma_max)
-            Huu = (_contractT(B_k, PB) + R1_ref[...] + reg * eye_u
-                   + sig_u[:, None, :] * eye_u)
-            Hux = _contractT(B_k, PA)                  # (nu, nx, B)
-            Hinv = _chol_inverse_lanes(Huu)
-            Z = _contractT(Hinv, Hux)                  # Hinv Hux = -K
-            Pk = Qs_ref[...] + _contractT(A_k, PA) - _contractT(Hux, Z)
-            km1 = jnp.maximum(k - 1, 0)
-            sig_x = jnp.minimum(lam_lx_s[km1] / slx_s[km1]
-                                + lam_ux_s[km1] / sux_s[km1], sigma_max)
-            sig_x = jnp.where(k >= 1, sig_x, 0.0)
-            Pk = Pk + sig_x[:, None, :] * eye_x
-            Pk = 0.5 * (Pk + jnp.swapaxes(Pk, 0, 1))
-            P_s[k] = Pk
-            Z_s[k] = Z
-            Hinv_s[k] = Hinv
-            return 0
+    def _p_write(slot, row):
+        return pltpu.make_async_copy(P_s.at[slot], P_hbm.at[row],
+                                     psem.at[slot])
 
-        jax.lax.fori_loop(0, N, bwd, 0)
+    def _p_read(slot, row):
+        return pltpu.make_async_copy(P_hbm.at[row], P_s.at[slot],
+                                     psem.at[slot])
+
+    if stream_p:
+        # P lives in HBM; VMEM holds a 2-slot slab (double-buffered DMA).
+        def factorize():
+            P = _terminal_P()
+            P_s[0] = P
+            _p_write(0, N).start()
+
+            def bwd(i, P):
+                k = N - 1 - i
+                Pk = _stage_factor(P, k)
+                slot = (i + 1) % 2
+                row_prev = jnp.where(i == 1, N, k + 2)
+
+                @pl.when(i >= 1)
+                def _():
+                    _p_write(slot, row_prev).wait()
+                P_s[slot] = Pk
+                _p_write(slot, k).start()
+                return Pk
+
+            jax.lax.fori_loop(0, N, bwd, P)
+            # drain the last two outstanding writes (rows 0 and 1)
+            _p_write(N % 2, 0).wait()
+            _p_write((N + 1) % 2, 1).wait()
+    else:
+        def factorize():
+            P_s[N] = _terminal_P()
+
+            def bwd(i, _):
+                k = N - 1 - i
+                P_s[k] = _stage_factor(P_s[k + 1], k)
+                return 0
+
+            jax.lax.fori_loop(0, N, bwd, 0)
 
     def compute_req():
         def body(k, _):
@@ -293,13 +333,31 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         jax.lax.fori_loop(0, N, body, 0)
 
     def solve_rhs():
-        def bwd(i, p):
-            k = N - 1 - i
-            Pcp = _contractT_vec(P_s[k + 1], req_s[k]) + p
-            Gu = rr_s[k] + _contractT_vec(B_ref[k], Pcp)
-            kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)
-            return (qr_s[k] + _contractT_vec(A_ref[k], Pcp)
-                    - _contractT_vec(Z_s[k], Gu))
+        if stream_p:
+            _p_read(0, N).start()
+
+            def bwd(i, p):
+                k = N - 1 - i
+                slot = i % 2
+                _p_read(slot, k + 1).wait()
+
+                @pl.when(i + 1 < N)
+                def _():
+                    _p_read((i + 1) % 2, k).start()
+                Pn = P_s[slot]
+                Pcp = _contractT_vec(Pn, req_s[k]) + p
+                Gu = rr_s[k] + _contractT_vec(B_ref[k], Pcp)
+                kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)
+                return (qr_s[k] + _contractT_vec(A_ref[k], Pcp)
+                        - _contractT_vec(Z_s[k], Gu))
+        else:
+            def bwd(i, p):
+                k = N - 1 - i
+                Pcp = _contractT_vec(P_s[k + 1], req_s[k]) + p
+                Gu = rr_s[k] + _contractT_vec(B_ref[k], Pcp)
+                kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)
+                return (qr_s[k] + _contractT_vec(A_ref[k], Pcp)
+                        - _contractT_vec(Z_s[k], Gu))
 
         jax.lax.fori_loop(0, N, bwd, qr_s[N])
 
@@ -472,10 +530,11 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 # ------------------------------ host wrapper ------------------------------
 
 @functools.partial(jax.jit, static_argnames=("iters", "mu0", "alpha_frac",
-                                             "reg", "interpret"))
+                                             "reg", "interpret", "stream_p"))
 def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                         alpha_frac: float = 0.995, reg: float = 1e-6,
-                        interpret: bool = False) -> QPSolution:
+                        interpret: bool = False,
+                        stream_p: bool | None = None) -> QPSolution:
     """Batched QP solve. `data` fields carry a LEADING batch axis (B, ...).
 
     Requirements (the RTI/LINEAR_LS structure): stage cost Hessians
@@ -515,22 +574,37 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
 
     mu_min, s_min = 1e-7, 1e-3
     sigma_max, lam_max, eps_s = 1e7, 1e7, 1e-9
+    if stream_p is None:
+        # beyond ~N=20 the VMEM-resident P (and stack) no longer fits the
+        # 16MB budget; stream P through HBM instead
+        stream_p = N > 20
 
     kernel = functools.partial(
         _ipm_kernel, N=N, nx=nx, nu=nu, iters=iters, mu0=mu0,
         alpha_frac=alpha_frac, reg=reg, s_min=s_min, mu_min=mu_min,
-        sigma_max=sigma_max, lam_max=lam_max, eps_s=eps_s)
+        sigma_max=sigma_max, lam_max=lam_max, eps_s=eps_s,
+        stream_p=stream_p)
 
     def vspec():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    out_specs = (vspec(), vspec(), vspec(),
+                 pl.BlockSpec(memory_space=pltpu.ANY))
+
+    # P storage: HBM-streamed (scratch slab + ANY-space dump output) or
+    # fully VMEM-resident.
+    p_dump_shape = (N + 1, nx, nx, LANES) if stream_p else (1, 1, LANES)
+    p_slab = (pltpu.VMEM((2, nx, nx, LANES), f32) if stream_p
+              else pltpu.VMEM((N + 1, nx, nx, LANES), f32))
     out_shape = (
         jax.ShapeDtypeStruct((N + 1, nx, LANES), f32),
         jax.ShapeDtypeStruct((N, nu, LANES), f32),
         jax.ShapeDtypeStruct((3, LANES), f32),
+        jax.ShapeDtypeStruct(p_dump_shape, f32),
     )
     scratch = [
-        pltpu.VMEM((N + 1, nx, nx, LANES), f32),  # P_s
+        p_slab,                                   # P_s
+        pltpu.SemaphoreType.DMA((2,)),            # psem
         pltpu.VMEM((N, nu, nx, LANES), f32),      # Z_s
         pltpu.VMEM((N, nu, nu, LANES), f32),      # Hinv_s
         pltpu.VMEM((N, nu, LANES), f32),          # kff_s
@@ -565,7 +639,7 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     call = pl.pallas_call(
         kernel,
         in_specs=[vspec()] * 13,
-        out_specs=tuple(vspec() for _ in range(3)),
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
@@ -574,7 +648,7 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     def one_tile(args):
         return call(*args)
 
-    dx_bl, du_bl, diag = jax.lax.map(
+    dx_bl, du_bl, diag, _p_dump = jax.lax.map(
         one_tile, (A, Bm, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0))
 
     def unprep(x):  # (T, ..., LANES) -> (B, ...)
