@@ -62,3 +62,15 @@ def test_pallas_ipm_respects_bounds_interpret():
     ubu = np.asarray(data.ubu)
     assert (du >= lbu - 1e-4).all()
     assert (du <= ubu + 1e-4).all()
+
+
+def test_pallas_ipm_stream_matches_resident_interpret():
+    """HBM-streamed P (large-N mode) is numerically identical to the
+    VMEM-resident mode."""
+    data = _blaster_qps(B=2, N=8)
+    a = pallas_box_qp_solve(data, iters=8, interpret=True, stream_p=False)
+    b = pallas_box_qp_solve(data, iters=8, interpret=True, stream_p=True)
+    np.testing.assert_allclose(np.asarray(a.du), np.asarray(b.du),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.dx), np.asarray(b.dx),
+                               atol=1e-6)
