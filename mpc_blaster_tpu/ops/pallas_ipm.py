@@ -264,29 +264,27 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                                      psem.at[slot])
 
     if stream_p:
-        # P lives in HBM; VMEM holds a 2-slot slab (double-buffered DMA).
+        # P lives in HBM; VMEM holds a single slab. Synchronous DMA per
+        # stage: ~1-2us per 150KB copy, amortized against ~30us of stage
+        # compute. (An overlapped 2-slot protocol faulted on hardware via
+        # reconstructed-descriptor waits; keep it simple and matched.)
+        def _p_put(row, Pv):
+            P_s[0] = Pv
+            cp = _p_write(0, row)
+            cp.start()
+            cp.wait()
+
         def factorize():
             P = _terminal_P()
-            P_s[0] = P
-            _p_write(0, N).start()
+            _p_put(N, P)
 
             def bwd(i, P):
                 k = N - 1 - i
                 Pk = _stage_factor(P, k)
-                slot = (i + 1) % 2
-                row_prev = jnp.where(i == 1, N, k + 2)
-
-                @pl.when(i >= 1)
-                def _():
-                    _p_write(slot, row_prev).wait()
-                P_s[slot] = Pk
-                _p_write(slot, k).start()
+                _p_put(k, Pk)
                 return Pk
 
             jax.lax.fori_loop(0, N, bwd, P)
-            # drain the last two outstanding writes (rows 0 and 1)
-            _p_write(N % 2, 0).wait()
-            _p_write((N + 1) % 2, 1).wait()
     else:
         def factorize():
             P_s[N] = _terminal_P()
@@ -334,17 +332,12 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
     def solve_rhs():
         if stream_p:
-            _p_read(0, N).start()
-
             def bwd(i, p):
                 k = N - 1 - i
-                slot = i % 2
-                _p_read(slot, k + 1).wait()
-
-                @pl.when(i + 1 < N)
-                def _():
-                    _p_read((i + 1) % 2, k).start()
-                Pn = P_s[slot]
+                cp = _p_read(1, k + 1)
+                cp.start()
+                cp.wait()
+                Pn = P_s[1]
                 Pcp = _contractT_vec(Pn, req_s[k]) + p
                 Gu = rr_s[k] + _contractT_vec(B_ref[k], Pcp)
                 kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)

@@ -78,6 +78,11 @@ class QPSolution(NamedTuple):
     kkt_stat: Optional[jnp.ndarray] = None
     kkt_eq: Optional[jnp.ndarray] = None
     iters: Optional[jnp.ndarray] = None
+    # final slacks (for warm-starting the next RTI tick's solve)
+    s_lx: Optional[jnp.ndarray] = None
+    s_ux: Optional[jnp.ndarray] = None
+    s_lu: Optional[jnp.ndarray] = None
+    s_uu: Optional[jnp.ndarray] = None
 
 
 def qp_objective(data: QPData, dx: jnp.ndarray, du: jnp.ndarray) -> jnp.ndarray:

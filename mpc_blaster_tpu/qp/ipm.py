@@ -53,15 +53,42 @@ def _init_slack(gap, mask, s_min):
     return jnp.where(mask, jnp.maximum(gap, s_min), _BIG)
 
 
+class IpmWarmStart(NamedTuple):
+    """Slack/dual warm start from a previous tick's solve (HPIPM
+    warm_start=1 analog). Slacks are absolute bound distances, so they
+    transfer across RTI ticks (shift stages yourself before passing).
+    `valid` gates blending: 0.0 -> cold start (first tick)."""
+
+    s_lx: jnp.ndarray
+    s_ux: jnp.ndarray
+    lam_lx: jnp.ndarray
+    lam_ux: jnp.ndarray
+    s_lu: jnp.ndarray
+    s_uu: jnp.ndarray
+    lam_lu: jnp.ndarray
+    lam_uu: jnp.ndarray
+    valid: jnp.ndarray  # scalar 0/1
+
+    @staticmethod
+    def zeros(N: int, nx: int, nu: int, dtype=jnp.float32):
+        zx = jnp.zeros((N, nx), dtype)
+        zu = jnp.zeros((N, nu), dtype)
+        return IpmWarmStart(zx, zx, zx, zx, zu, zu, zu, zu,
+                            jnp.zeros((), dtype))
+
+
 def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                  kappa: float = 0.2, alpha_frac: float = 0.995,
                  reg: float = 1e-9, s_min: float = 1e-3,
                  mu_min: float = 1e-12,
-                 warm_du: jnp.ndarray | None = None) -> QPSolution:
+                 warm_du: jnp.ndarray | None = None,
+                 warm: "IpmWarmStart | None" = None) -> QPSolution:
     """Solve the box-constrained OCP QP. Fully jit/vmap-compatible.
 
     warm_du: optional (N, nu) control warm start (RTI shift), used to seed
     the primal trajectory by rolling out the dynamics.
+    warm: optional slack/dual warm start (see IpmWarmStart); blended over
+    the cold centered init when warm.valid > 0.
     """
     del kappa  # superseded by Mehrotra sigma; kept for config compat
     N, nx, nu = data.horizon, data.nx, data.nu
@@ -123,14 +150,39 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     s_ux = _init_slack(data.ubx[1:] - dx0_traj[1:], mask_ux, s_min)
     s_lu = _init_slack(du0 - data.lbu, mask_lu, s_min)
     s_uu = _init_slack(data.ubu - du0, mask_uu, s_min)
+    lam_lx = jnp.where(mask_lx, mu0 / s_lx, 0.0).astype(dtype)
+    lam_ux = jnp.where(mask_ux, mu0 / s_ux, 0.0).astype(dtype)
+    lam_lu = jnp.where(mask_lu, mu0 / s_lu, 0.0).astype(dtype)
+    lam_uu = jnp.where(mask_uu, mu0 / s_uu, 0.0).astype(dtype)
+
+    if warm is not None:
+        # Blend warm slacks/duals over the cold centered init (per-problem
+        # gate so batched solves can mix cold and warm scenarios).
+        use = (warm.valid > 0.5)
+
+        def blend(w, cold, mask):
+            w = jnp.clip(jnp.where(mask, w, _BIG), s_min * 1e-2, _BIG)
+            return jnp.where(use & mask, w, cold)
+
+        def blend_l(w, cold, mask):
+            w = jnp.clip(w, 0.0, lam_max)
+            return jnp.where(use & mask, jnp.maximum(w, 1e-8), cold)
+
+        s_lx = blend(warm.s_lx, s_lx, mask_lx)
+        s_ux = blend(warm.s_ux, s_ux, mask_ux)
+        s_lu = blend(warm.s_lu, s_lu, mask_lu)
+        s_uu = blend(warm.s_uu, s_uu, mask_uu)
+        lam_lx = blend_l(warm.lam_lx, lam_lx, mask_lx)
+        lam_ux = blend_l(warm.lam_ux, lam_ux, mask_ux)
+        lam_lu = blend_l(warm.lam_lu, lam_lu, mask_lu)
+        lam_uu = blend_l(warm.lam_uu, lam_uu, mask_uu)
+
     state = _IpmState(
         dx=dx0_traj, du=du0,
         s_lx=s_lx, s_ux=s_ux,
-        lam_lx=jnp.where(mask_lx, mu0 / s_lx, 0.0).astype(dtype),
-        lam_ux=jnp.where(mask_ux, mu0 / s_ux, 0.0).astype(dtype),
+        lam_lx=lam_lx, lam_ux=lam_ux,
         s_lu=s_lu, s_uu=s_uu,
-        lam_lu=jnp.where(mask_lu, mu0 / s_lu, 0.0).astype(dtype),
-        lam_uu=jnp.where(mask_uu, mu0 / s_uu, 0.0).astype(dtype),
+        lam_lu=lam_lu, lam_uu=lam_uu,
     )
 
     n_ineq = (jnp.sum(mask_lx) + jnp.sum(mask_ux)
@@ -325,6 +377,28 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
         lam_lu=best.lam_lu, lam_uu=best.lam_uu,
         mu=comp_sum(best) / n_ineq, kkt_stat=kkt_stat, kkt_eq=kkt_eq,
         iters=jnp.asarray(iters),
+        s_lx=best.s_lx, s_ux=best.s_ux, s_lu=best.s_lu, s_uu=best.s_uu,
+    )
+
+
+def warm_start_from(sol: QPSolution, shift: bool = False) -> IpmWarmStart:
+    """Build the next tick's warm start from a solve's slacks/duals.
+
+    Our rti_step keeps the iterate un-shifted between ticks (acados RTI
+    default), so shift=False matches it; use shift=True together with
+    `sqp.rti.shift_state`.
+    """
+    def sh(a):
+        if not shift:
+            return a
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+    return IpmWarmStart(
+        s_lx=sh(sol.s_lx), s_ux=sh(sol.s_ux),
+        lam_lx=sh(sol.lam_lx), lam_ux=sh(sol.lam_ux),
+        s_lu=sh(sol.s_lu), s_uu=sh(sol.s_uu),
+        lam_lu=sh(sol.lam_lu), lam_uu=sh(sol.lam_uu),
+        valid=jnp.ones((), sol.dx.dtype),
     )
 
 

@@ -115,6 +115,30 @@ def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     return new_state.ubar[0], new_state, diag
 
 
+def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
+                  params: BlasterParams, F, solver: cfg.SolverConfig):
+    """RTI tick with slack/dual warm starting (HPIPM warm_start=1 analog).
+
+    Returns (u0, new_state, warm_out, diag). Pass `warm_out` into the next
+    tick; seed the first tick with `IpmWarmStart.zeros(...)` (valid=0 ->
+    cold). Warm ticks typically converge in half the iterations, so pair
+    this with a reduced `solver.ipm_iters` for the latency-critical loop.
+    """
+    from mpc_blaster_tpu.qp.ipm import warm_start_from
+
+    qp = build_qp(spec, state, x0, F, params)
+    sol = box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
+                       alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg,
+                       warm=warm)
+    new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
+    diag = RTIDiagnostics(
+        qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
+        step_norm_x=jnp.max(jnp.abs(sol.dx)),
+        step_norm_u=jnp.max(jnp.abs(sol.du)),
+    )
+    return new_state.ubar[0], new_state, warm_start_from(sol), diag
+
+
 def shift_state(state: RTIState) -> RTIState:
     """Shift the iterate one stage forward (classic RTI warm start)."""
     return RTIState(

@@ -150,3 +150,30 @@ def test_closed_loop_f32_reference_weights_stable():
     xs = np.asarray(r32.xs)
     assert np.isfinite(xs).all()
     assert abs(xs[-1, 2] - 3.5) < 0.25
+
+
+def test_warm_started_rti_fewer_iterations():
+    """Slack/dual warm starting lets a 6-iteration IPM match the quality of
+    the 12-iteration cold solver after the first tick."""
+    import dataclasses as dc
+    from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+    from mpc_blaster_tpu.sqp.rti import rti_step, rti_step_warm
+
+    ocp, spec, x0 = _hover_setup()
+    params = BlasterParams.from_config(ocp.model, DTYPE)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    solver6 = dc.replace(ocp.solver, ipm_iters=6)
+
+    st_c = init_rti_state(ocp, x0, DTYPE)
+    st_w = init_rti_state(ocp, x0, DTYPE)
+    warm = IpmWarmStart.zeros(ocp.N, cfg.NX, cfg.NU, DTYPE)
+    for i in range(8):
+        u_c, st_c, diag_c = rti_step(spec, st_c, x0, params, F, ocp.solver)
+        u_w, st_w, warm, diag_w = rti_step_warm(spec, st_w, warm, x0,
+                                                params, F, solver6)
+    # same hover decision to control tolerance
+    np.testing.assert_allclose(np.asarray(u_w[0:4]), np.asarray(u_c[0:4]),
+                               rtol=5e-3)
+    # warm path stays dynamics-consistent (flat-subspace dual noise keeps
+    # raw stationarity from vanishing; the control decision is what matters)
+    assert float(diag_w.qp_kkt_eq) < 1e-3
