@@ -44,8 +44,8 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
                 dtype=jnp.float32, plant_substeps: int = 1,
                 rti0: Optional[RTIState] = None,
                 poc_mode: str = "frozen",
-                poc_cfg: Optional[cfg.PocSolverConfig] = None
-                ) -> ClosedLoopResult:
+                poc_cfg: Optional[cfg.PocSolverConfig] = None,
+                warm_start: bool = False) -> ClosedLoopResult:
     """Run `n_steps` control ticks from x0. jit-compiled end to end.
 
     poc_mode:
@@ -56,6 +56,10 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
         vehicle pose every tick, on device, inside the scan — a capability
         the reference lacks (its FD pipeline was too slow to run per tick;
         our closed-form jacfwd solve costs microseconds).
+
+    warm_start=True carries IPM slack/dual warm starts between ticks
+    (HPIPM warm_start=1 analog); pair with a reduced solver.ipm_iters for
+    latency-critical loops.
     """
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
@@ -88,17 +92,39 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
         def stage_params_for(x):
             return spec.stage_params
 
-    def tick(carry, _):
-        state, x = carry
-        spec_t = spec._replace(stage_params=stage_params_for(x))
-        u0, state_new, diag = rti_step(spec_t, state, x, params, F, solver)
-        x_next = F_plant(x, u0, plant_params, params)
-        cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
-        out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
-        return (state_new, x_next), out
+    if warm_start:
+        from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+        from mpc_blaster_tpu.sqp.rti import rti_step_warm
+        warm0 = IpmWarmStart.zeros(spec.horizon, x0.shape[0],
+                                   rti0.ubar.shape[-1], dtype)
+        # tie to varying data for shard_map typing
+        warm0 = jax.tree.map(lambda a: a + 0.0 * x0[0], warm0)
 
-    (_, _), (xs, us, costs, stat, eq) = jax.lax.scan(
-        tick, (rti0, x0), None, length=n_steps)
+        def tick(carry, _):
+            state, warm, x = carry
+            spec_t = spec._replace(stage_params=stage_params_for(x))
+            u0, state_new, warm_new, diag = rti_step_warm(
+                spec_t, state, warm, x, params, F, solver)
+            x_next = F_plant(x, u0, plant_params, params)
+            cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
+            out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
+            return (state_new, warm_new, x_next), out
+
+        (_, _, _), (xs, us, costs, stat, eq) = jax.lax.scan(
+            tick, (rti0, warm0, x0), None, length=n_steps)
+    else:
+        def tick(carry, _):
+            state, x = carry
+            spec_t = spec._replace(stage_params=stage_params_for(x))
+            u0, state_new, diag = rti_step(spec_t, state, x, params, F,
+                                           solver)
+            x_next = F_plant(x, u0, plant_params, params)
+            cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
+            out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
+            return (state_new, x_next), out
+
+        (_, _), (xs, us, costs, stat, eq) = jax.lax.scan(
+            tick, (rti0, x0), None, length=n_steps)
     xs = jnp.concatenate([x0[None], xs], axis=0)
     return ClosedLoopResult(xs=xs, us=us, costs=costs, kkt_stat=stat,
                             kkt_eq=eq)
@@ -106,11 +132,12 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
 
 def make_closed_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
                      plant_substeps: int = 1, poc_mode: str = "frozen",
-                     poc_cfg: Optional[cfg.PocSolverConfig] = None):
+                     poc_cfg: Optional[cfg.PocSolverConfig] = None,
+                     warm_start: bool = False):
     """jit-compiled closed-loop runner with static config."""
     fn = partial(closed_loop, ocp=ocp, n_steps=n_steps, dtype=dtype,
                  plant_substeps=plant_substeps, poc_mode=poc_mode,
-                 poc_cfg=poc_cfg)
+                 poc_cfg=poc_cfg, warm_start=warm_start)
 
     @jax.jit
     def run(spec: OCPSpec, x0: jnp.ndarray):

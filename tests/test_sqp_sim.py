@@ -177,3 +177,20 @@ def test_warm_started_rti_fewer_iterations():
     # warm path stays dynamics-consistent (flat-subspace dual noise keeps
     # raw stationarity from vanishing; the control decision is what matters)
     assert float(diag_w.qp_kkt_eq) < 1e-3
+
+
+def test_closed_loop_warm_start_quality():
+    """Warm-started 6-iteration loop tracks as well as the cold 12-iter."""
+    import dataclasses as dc
+    from mpc_blaster_tpu.ocp.spec import build_spec as _bs
+    from mpc_blaster_tpu.sim.closedloop import make_closed_loop
+
+    preset = cfg.simulation_preset()
+    ocp6 = dc.replace(preset.ocp,
+                      solver=dc.replace(preset.ocp.solver, ipm_iters=6))
+    spec = _bs(ocp6, yref=preset.loop.yref, dtype=DTYPE)
+    run_w = make_closed_loop(ocp6, 120, dtype=DTYPE, warm_start=True)
+    res = run_w(spec, jnp.asarray(preset.loop.x0, DTYPE))
+    xs = np.asarray(res.xs)
+    assert np.isfinite(xs).all()
+    assert abs(xs[-1, 2] - 3.5) < 0.15, xs[-1, 0:3]
