@@ -75,3 +75,37 @@ def test_sharded_sweep_runs_and_tracks():
     assert errs.mean() < 0.55 * x0errs.mean()
     assert float(mean_err) == np.testing.assert_allclose(
         float(mean_err), errs.mean(), rtol=1e-6) or True
+
+
+def test_batched_step_per_scenario_spec():
+    """Targets/gains sweeps: every scenario gets its own OCPSpec."""
+    from mpc_blaster_tpu.ocp.spec import build_spec
+    from mpc_blaster_tpu.parallel.mesh import batched_rti_step_per_scenario_spec
+
+    ocp, spec, x0s = _setup()
+    Bs = 4
+    specs = []
+    for i in range(Bs):
+        yref = np.zeros(cfg.NY)
+        yref[2] = 2.0 + 0.3 * i        # per-scenario altitude target
+        specs.append(build_spec(ocp, yref=yref, dtype=DTYPE))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *specs)
+    states = jax.vmap(lambda x: init_rti_state(ocp, x, DTYPE))(x0s[:Bs])
+    step = batched_rti_step_per_scenario_spec(ocp, dtype=DTYPE)
+    u0s, new_states, diags = step(stacked, states, x0s[:Bs])
+    assert u0s.shape == (Bs, cfg.NU)
+    assert np.isfinite(np.asarray(u0s)).all()
+    # higher targets demand more climb: velocity plans differ per scenario
+    vz = np.asarray(new_states.xbar)[:, 10, 8]  # stage 10, v_z
+    assert vz.std() > 1e-3
+
+
+def test_shift_state_rti_warm_start():
+    from mpc_blaster_tpu.sqp.rti import shift_state
+    ocp, spec, x0s = _setup()
+    st = init_rti_state(ocp, x0s[0], DTYPE)
+    st = st._replace(xbar=st.xbar.at[0, 2].set(99.0))
+    sh = shift_state(st)
+    assert float(sh.xbar[0, 2]) != 99.0       # stage 0 dropped
+    np.testing.assert_allclose(np.asarray(sh.xbar[-1]),
+                               np.asarray(st.xbar[-1]))  # last duplicated
