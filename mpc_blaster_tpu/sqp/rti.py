@@ -115,6 +115,79 @@ def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     return new_state.ubar[0], new_state, diag
 
 
+class JacCache(NamedTuple):
+    """Cached discrete dynamics Jacobians for Jacobian-reuse RTI ticks."""
+
+    A: jnp.ndarray  # (N, nx, nx)
+    B: jnp.ndarray  # (N, nx, nu)
+
+    @staticmethod
+    def zeros(N, nx, nu, dtype=jnp.float32):
+        return JacCache(A=jnp.zeros((N, nx, nx), dtype),
+                        B=jnp.zeros((N, nx, nu), dtype))
+
+
+def build_qp_jacreuse(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
+                      F, params: BlasterParams, cache: JacCache,
+                      refresh) -> tuple:
+    """build_qp with optional Jacobian reuse (the reference's
+    `sim_method_jac_reuse` option, JSON `sim_method_jac_reuse=[0]*60`).
+
+    When `refresh` (traced bool) is False, A/B come from `cache` and only
+    the exact forward evaluations (defects) are recomputed — the shooting
+    defects stay exact, the Gauss-Newton direction becomes slightly inexact
+    (standard inexact-SQP; fine for warm closed loops). Linearization is
+    ~70% of the RTI tick cost, so reusing it most ticks nearly doubles
+    throughput. Returns (QPData, new_cache).
+    """
+    xbar, ubar = state.xbar, state.ubar
+
+    def full(_):
+        return _linearize_nodes(F, xbar, ubar, spec.stage_params, params)
+
+    def reuse(cache):
+        x_pred = jax.vmap(lambda x, u, p: F(x, u, p, params))(
+            xbar[:-1], ubar, spec.stage_params)
+        return x_pred, cache.A, cache.B
+
+    x_pred, A, B = jax.lax.cond(refresh, full, reuse, cache)
+    c = x_pred - xbar[1:]
+
+    dtw = spec.dt
+    Qs = jnp.concatenate([
+        jnp.tile((dtw * spec.Q)[None], (spec.horizon, 1, 1)),
+        spec.Q_t[None]], axis=0)
+    q_stage = dtw * (xbar[:-1] - spec.yref_x) @ spec.Q.T
+    q_term = ((xbar[-1] - spec.yref_e) @ spec.Q_t.T)[None]
+    qs = jnp.concatenate([q_stage, q_term], axis=0)
+    Rs = jnp.tile((dtw * spec.R)[None], (spec.horizon, 1, 1))
+    rs = dtw * (ubar - spec.yref_u) @ spec.R.T
+
+    qp = QPData(
+        A=A, B=B, c=c, Q=Qs, q=qs, R=Rs, r=rs,
+        lbx=spec.lbx[None] - xbar, ubx=spec.ubx[None] - xbar,
+        lbu=spec.lbu[None] - ubar, ubu=spec.ubu[None] - ubar,
+        dx0=x0 - xbar[0],
+    )
+    return qp, JacCache(A=A, B=B)
+
+
+def rti_step_jacreuse(spec: OCPSpec, state: RTIState, cache: JacCache,
+                      refresh, x0: jnp.ndarray, params: BlasterParams, F,
+                      solver: cfg.SolverConfig):
+    """RTI tick with Jacobian reuse. Returns (u0, state, cache, diag)."""
+    qp, cache = build_qp_jacreuse(spec, state, x0, F, params, cache, refresh)
+    sol = box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
+                       alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg)
+    new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
+    diag = RTIDiagnostics(
+        qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
+        step_norm_x=jnp.max(jnp.abs(sol.dx)),
+        step_norm_u=jnp.max(jnp.abs(sol.du)),
+    )
+    return new_state.ubar[0], new_state, cache, diag
+
+
 def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
                   params: BlasterParams, F, solver: cfg.SolverConfig):
     """RTI tick with slack/dual warm starting (HPIPM warm_start=1 analog).

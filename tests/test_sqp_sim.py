@@ -194,3 +194,39 @@ def test_closed_loop_warm_start_quality():
     xs = np.asarray(res.xs)
     assert np.isfinite(xs).all()
     assert abs(xs[-1, 2] - 3.5) < 0.15, xs[-1, 0:3]
+
+
+def test_jacobian_reuse_closed_loop():
+    """Jacobian-reuse ticks (refresh every 4th) track like full ticks —
+    the reference's sim_method_jac_reuse made TPU-native."""
+    import functools
+    from mpc_blaster_tpu.sqp.rti import (JacCache, rti_step,
+                                         rti_step_jacreuse)
+    from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics as dd
+
+    preset = cfg.simulation_preset()
+    ocp = preset.ocp
+    spec = build_spec(ocp, yref=preset.loop.yref, dtype=DTYPE)
+    params = BlasterParams.from_config(ocp.model, DTYPE)
+    F = dd(blaster_ode, ocp.dt, num_steps=1)
+    step_f = jax.jit(lambda st, x: rti_step(spec, st, x, params, F,
+                                            ocp.solver))
+    step_r = jax.jit(lambda st, c, rf, x: rti_step_jacreuse(
+        spec, st, c, rf, x, params, F, ocp.solver))
+    x_full = x_reuse = jnp.asarray(preset.loop.x0, DTYPE)
+    st_f = init_rti_state(ocp, x_full, DTYPE)
+    st_r = init_rti_state(ocp, x_reuse, DTYPE)
+    cache = JacCache.zeros(ocp.N, cfg.NX, cfg.NU, DTYPE)
+    plant_p = spec.stage_params[0].at[-1].set(2.2 * 9.81)
+    plant = jax.jit(lambda x, u: F(x, u, plant_p, params))
+    for i in range(60):
+        u_f, st_f, _ = step_f(st_f, x_full)
+        u_r, st_r, cache, diag = step_r(st_r, cache,
+                                        jnp.asarray(i % 4 == 0), x_reuse)
+        x_full = plant(x_full, u_f)
+        x_reuse = plant(x_reuse, u_r)
+    xf, xr = np.asarray(x_full), np.asarray(x_reuse)
+    assert np.isfinite(xr).all()
+    # both loops reach the same neighborhood of the climb trajectory
+    assert abs(xf[2] - xr[2]) < 0.1, (xf[0:3], xr[0:3])
+    assert np.abs(xr[3:6]).max() < 0.2
