@@ -21,13 +21,4 @@ reference `sml93/mpc_blaster` (CasADi + acados + HPIPM + BLASFEO + ROS):
 
 __version__ = "0.1.0"
 
-import jax as _jax
-
-# On TPU, f32 matmuls default to bf16 MXU passes — fatal for the Riccati/
-# IPM math (KKT residuals degrade from ~0.1 to ~10 and closed loops drift;
-# observed on v5e: figure-8 tracking error 0.03 m -> 4.1 m). These matrices
-# are tiny, so full-precision matmuls cost nothing measurable. The Pallas
-# kernels are unaffected (pure-VPU f32 rank-1 products).
-_jax.config.update("jax_default_matmul_precision", "highest")
-
 from mpc_blaster_tpu import config as config  # noqa: F401

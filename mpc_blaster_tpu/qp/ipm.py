@@ -89,7 +89,21 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     the primal trajectory by rolling out the dynamics.
     warm: optional slack/dual warm start (see IpmWarmStart); blended over
     the cold centered init when warm.valid > 0.
+
+    All matmuls inside the solve are forced to full f32 precision: TPU's
+    default bf16 MXU passes destroy the Riccati/IPM numerics (KKT 0.1->10,
+    closed loops drift meters; measured on v5e). The *linearization* stays
+    at default precision — its defects are exact forward evaluations, so
+    slightly inexact Jacobians only make the SQP an inexact Newton method
+    (same tradeoff as the reference's sim_method_jac_reuse).
     """
+    with jax.default_matmul_precision("highest"):
+        return _box_qp_solve_impl(data, iters, mu0, kappa, alpha_frac, reg,
+                                  s_min, mu_min, warm_du, warm)
+
+
+def _box_qp_solve_impl(data, iters, mu0, kappa, alpha_frac, reg, s_min,
+                       mu_min, warm_du, warm):
     del kappa  # superseded by Mehrotra sigma; kept for config compat
     N, nx, nu = data.horizon, data.nx, data.nu
     dtype = data.A.dtype

@@ -92,6 +92,11 @@ def lqr_solve_pscan(data: QPData, reg: float = 0.0) -> QPSolution:
     Same solution as `riccati.lqr_solve`; preferable when the horizon axis
     is long and/or sharded over a mesh ("hp" sequence parallelism).
     """
+    with jax.default_matmul_precision("highest"):
+        return _lqr_solve_pscan_impl(data, reg)
+
+
+def _lqr_solve_pscan_impl(data: QPData, reg: float = 0.0) -> QPSolution:
     A, B, c, Q, q, R, r = (data.A, data.B, data.c, data.Q, data.q, data.R,
                            data.r)
     N, nx, nu = data.horizon, data.nx, data.nu
