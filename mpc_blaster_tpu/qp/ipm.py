@@ -97,7 +97,7 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     slightly inexact Jacobians only make the SQP an inexact Newton method
     (same tradeoff as the reference's sim_method_jac_reuse).
     """
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision("high"):
         return _box_qp_solve_impl(data, iters, mu0, kappa, alpha_frac, reg,
                                   s_min, mu_min, warm_du, warm)
 

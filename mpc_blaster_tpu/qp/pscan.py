@@ -92,7 +92,7 @@ def lqr_solve_pscan(data: QPData, reg: float = 0.0) -> QPSolution:
     Same solution as `riccati.lqr_solve`; preferable when the horizon axis
     is long and/or sharded over a mesh ("hp" sequence parallelism).
     """
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision("high"):
         return _lqr_solve_pscan_impl(data, reg)
 
 

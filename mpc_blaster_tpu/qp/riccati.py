@@ -104,7 +104,7 @@ def riccati_solve(A, B, c, Q, q, R, r, dx0, reg: float = 0.0
 def lqr_solve(data: QPData, reg: float = 0.0) -> QPSolution:
     """Solve the unconstrained (equality-only) OCP QP (full-precision
     matmuls: TPU bf16 MXU defaults are fatal to Riccati numerics)."""
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision("high"):
         dx, du, _ = riccati_solve(data.A, data.B, data.c, data.Q, data.q,
                                   data.R, data.r, data.dx0, reg)
     return QPSolution(dx=dx, du=du)
