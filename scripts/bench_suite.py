@@ -75,7 +75,11 @@ def main():
     refs = jnp.asarray(figure8_refs(n_steps + ocp30.N + 1, ocp30.dt),
                        dtype)
     run = make_tracking_loop(ocp30, n_steps, dtype=dtype)
-    x0f = jnp.asarray(np.r_[np.asarray(refs[0, 0:3]), np.zeros(14)], dtype)
+    # start ON the moving reference incl. velocity feedforward
+    x0f_np = np.zeros(cfg.NX, np.float32)
+    x0f_np[0:3] = np.asarray(refs[0, 0:3])
+    x0f_np[6:9] = np.asarray(refs[0, 6:9])
+    x0f = jnp.asarray(x0f_np, dtype)
     t = timeit(lambda: run(spec30, x0f, refs), reps=2)
     out["figure8_loop_rate_hz_N30"] = round(n_steps / t, 1)
     res = run(spec30, x0f, refs)
