@@ -122,6 +122,19 @@ def main():
     lat = _timeit(lambda: chain(spec, st1, x0s[0]), reps=3) / K2
     p50_ms = lat * 1e3
 
+    # ---- warm-started low-iteration latency loop ----
+    # IPM slack/dual warm starting between ticks lets 6 iterations match the
+    # 12-iteration cold quality (test_warm_started_rti_fewer_iterations);
+    # this is the deployed single-trajectory configuration.
+    log("bench: compiling warm-start latency loop")
+    from mpc_blaster_tpu.sim.closedloop import make_closed_loop
+    ocp_warm = dataclasses.replace(
+        ocp, solver=dataclasses.replace(ocp.solver, ipm_iters=6))
+    warm_runner = make_closed_loop(ocp_warm, K2, dtype=dtype,
+                                   warm_start=True)
+    lat_w = _timeit(lambda: warm_runner(spec, x0s[0]), reps=3) / K2
+    warm_ms = lat_w * 1e3
+
     baseline_rate = 30.0  # reference real-time solve rate (33.3 ms/tick)
     print(json.dumps({
         "metric": "nmpc_rti_solves_per_sec_per_chip_N20",
@@ -133,6 +146,8 @@ def main():
         "pallas_solves_per_s": round(results.get("pallas") or 0.0, 1),
         "single_solve_p50_ms": round(p50_ms, 3),
         "single_solve_hz": round(1e3 / p50_ms, 1),
+        "warm6_solve_p50_ms": round(warm_ms, 3),
+        "warm6_solve_hz": round(1e3 / warm_ms, 1),
         "realtime_budget_ms": 33.333,
         "batch": B,
         "device": str(dev),
