@@ -104,6 +104,19 @@ def main():
         except Exception as e:
             out[f"batched4096_solves_per_s_{backend}"] = f"error: {e}"[:120]
 
+    # 3b. flight-horizon batched throughput (N=30, pallas P-streaming mode)
+    if pallas_available():
+        try:
+            spec30b = build_spec(ocp30, yref=preset.loop.yref, dtype=dtype)
+            B30 = 1024
+            x30 = jnp.asarray(x0s[:B30])
+            st30 = jax.vmap(lambda x: init_rti_state(ocp30, x, dtype))(x30)
+            pstep = batched_rti_step(ocp30, dtype=dtype, backend="pallas")
+            t = timeit(lambda: pstep(spec30b, st30, x30), reps=3)
+            out["batched1024_N30_solves_per_s_pallas"] = round(B30 / t, 1)
+        except Exception as e:
+            out["batched1024_N30_solves_per_s_pallas"] = f"error: {e}"[:120]
+
     # 4. sharded sweep over all local devices
     try:
         mesh = make_mesh()
