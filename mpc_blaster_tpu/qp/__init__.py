@@ -6,3 +6,9 @@ from mpc_blaster_tpu.qp.ipm import (  # noqa: F401
     warm_start_from,
 )
 from mpc_blaster_tpu.qp.pscan import lqr_solve_pscan  # noqa: F401
+from mpc_blaster_tpu.qp.soft import (  # noqa: F401
+    SoftBounds,
+    SoftPenalty,
+    SoftQPSolution,
+    soft_box_qp_solve,
+)

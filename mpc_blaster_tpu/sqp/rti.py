@@ -212,6 +212,36 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
     return new_state.ubar[0], new_state, warm_start_from(sol), diag
 
 
+def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
+                  params: BlasterParams, F, solver: cfg.SolverConfig,
+                  soft):
+    """RTI tick with soft (slacked) state bounds — the acados ns>0 analog
+    (`qp/soft.py`). Use when disturbances can push the state outside the
+    hard box (the sim preset's position box is ±1.5 m,
+    `simulation_blaster.py:28-30`): a hard QP becomes infeasible there,
+    while the soft QP degrades gracefully with L1+L2-penalized violations.
+
+    `soft` is a `qp.soft.SoftBounds` in *delta* units — the box is affine
+    in the iterate, so penalties (which are shift-invariant) transfer
+    directly. Returns (u0, new_state, diag, violations).
+    """
+    from mpc_blaster_tpu.qp.soft import soft_box_qp_solve
+
+    qp = build_qp(spec, state, x0, F, params)
+    res = soft_box_qp_solve(qp, soft, iters=solver.ipm_iters,
+                            mu0=solver.ipm_mu0,
+                            alpha_frac=solver.ipm_alpha_frac,
+                            reg=solver.ipm_reg)
+    sol = res.sol
+    new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
+    diag = RTIDiagnostics(
+        qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
+        step_norm_x=jnp.max(jnp.abs(sol.dx)),
+        step_norm_u=jnp.max(jnp.abs(sol.du)),
+    )
+    return new_state.ubar[0], new_state, diag, res
+
+
 def shift_state(state: RTIState) -> RTIState:
     """Shift the iterate one stage forward (classic RTI warm start)."""
     return RTIState(
