@@ -114,6 +114,13 @@ class SolverConfig:
     ipm_alpha_frac: float = 0.995   # fraction-to-boundary
     ipm_reg: float = 1e-8           # Riccati regularization
     sqp_iters: int = 1              # 1 == RTI semantics (SQP_RTI)
+    # QP backend: "riccati" = full-horizon Riccati IPM (qp/ipm.py, HPIPM
+    # cond_N=N analog — the reference's actual setting); "condensed" =
+    # partial condensing with block size cond_M (qp/condense.py, the
+    # HPIPM cond_N = N/cond_M capability: shorter sequential chain,
+    # denser matmuls).
+    qp_backend: str = "riccati"
+    cond_M: int = 5
     tol_stat: float = 1e-6
     tol_eq: float = 1e-6
     tol_ineq: float = 1e-6

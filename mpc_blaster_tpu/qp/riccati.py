@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mpc_blaster_tpu.qp.data import QPData, QPSolution
-from mpc_blaster_tpu.qp.smallalg import chol_inverse
+from mpc_blaster_tpu.qp.smallalg import spd_inverse
 
 
 class RiccatiFactor(NamedTuple):
@@ -33,30 +33,36 @@ class RiccatiFactor(NamedTuple):
     P: jnp.ndarray      # (N+1, nx, nx) value Hessians
 
 
-def riccati_factorize(A, B, Q, R, reg: float = 0.0) -> RiccatiFactor:
+def riccati_factorize(A, B, Q, R, reg: float = 0.0, S=None) -> RiccatiFactor:
     """Matrix-only backward pass: P_k, K_k, inv(H_uu)_k.
 
     H_uu is inverted via the unrolled small-Cholesky (smallalg.py): TPU
     lowers jnp.linalg.cholesky/triangular_solve of 6x6 blocks to slow
     custom calls, while the unrolled form fuses into the scan body.
+
+    S (optional, (N, nu, nx)): cost cross terms 'u S x' — produced by
+    partial condensing (`qp/condense.py`); H_ux becomes S + B'PA and
+    nothing else changes (the solve pass is cross-term-agnostic).
     """
     nu = B.shape[-1]
     I_u = jnp.eye(nu, dtype=B.dtype)
+    if S is None:
+        S = jnp.zeros(B.shape[:-2] + (nu, A.shape[-1]), B.dtype)
 
     def bwd(P_next, inputs):
-        A_k, B_k, Q_k, R_k = inputs
+        A_k, B_k, Q_k, R_k, S_k = inputs
         PA = P_next @ A_k
         PB = P_next @ B_k
         H_uu = R_k + B_k.T @ PB + reg * I_u
-        H_ux = B_k.T @ PA
-        Hinv = chol_inverse(H_uu)
+        H_ux = S_k + B_k.T @ PA
+        Hinv = spd_inverse(H_uu)
         K_k = -(Hinv @ H_ux)
         P_k = Q_k + A_k.T @ PA + H_ux.T @ K_k
         P_k = 0.5 * (P_k + P_k.T)
         return P_k, (K_k, Hinv, P_next)
 
     P0, (Ks, Hinvs, P_nexts) = jax.lax.scan(
-        bwd, Q[-1], (A, B, Q[:-1], R), reverse=True)
+        bwd, Q[-1], (A, B, Q[:-1], R, S), reverse=True)
     Ps = jnp.concatenate([P0[None], P_nexts], axis=0)
     return RiccatiFactor(K=Ks, Hinv=Hinvs, P=Ps)
 

@@ -58,3 +58,39 @@ def chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
             cols.append(s)
         rows.append(jnp.stack(cols, axis=-1))
     return jnp.stack(rows, axis=-2)
+
+
+def spd_inverse(M: jnp.ndarray, base: int = 8) -> jnp.ndarray:
+    """Inverse of an SPD (..., n, n) matrix, compile-size-bounded.
+
+    For n <= base, the fully-unrolled Cholesky (`chol_inverse`) is optimal:
+    ~n^3/3 scalar ops that XLA fuses into the surrounding graph. But the
+    unrolled form emits O(n^3) *individual HLO ops*, which explodes compile
+    time/memory for the (M*nu)-sized Hessians of partial condensing
+    (`qp/condense.py`: n = 30 -> ~30k scalar ops -> multi-GB XLA compiles,
+    measured). Above `base` we recurse on the 2x2 block Schur complement
+
+        inv([[A, B], [B', C]]) via Ai = inv(A), S = C - B' Ai B
+
+    which emits a handful of dense matmuls per level (MXU work, log2(n/base)
+    levels) and keeps the scalar unrolling at the leaves. Schur complements
+    of SPD matrices are SPD, so the recursion is well-posed.
+    """
+    n = M.shape[-1]
+    if n <= base:
+        return chol_inverse(M)
+    h = n // 2
+    A = M[..., :h, :h]
+    B = M[..., :h, h:]
+    C = M[..., h:, h:]
+    Ai = spd_inverse(A, base)
+    AiB = Ai @ B
+    S = C - jnp.swapaxes(B, -1, -2) @ AiB
+    Si = spd_inverse(S, base)
+    AiB_Si = AiB @ Si
+    TL = Ai + AiB_Si @ jnp.swapaxes(AiB, -1, -2)
+    TR = -AiB_Si
+    BL = jnp.swapaxes(TR, -1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

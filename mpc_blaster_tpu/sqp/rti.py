@@ -98,14 +98,30 @@ def build_qp(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     )
 
 
+def solve_qp_backend(qp: QPData, solver: cfg.SolverConfig):
+    """Dispatch to the configured QP backend (trace-time branch).
+
+    "riccati" is the full-horizon Riccati IPM (the reference's effective
+    cond_N=N HPIPM configuration); "condensed" applies real partial
+    condensing with block size `solver.cond_M` before solving
+    (`qp/condense.py`)."""
+    if solver.qp_backend == "condensed":
+        from mpc_blaster_tpu.qp.condense import condensed_qp_solve
+        return condensed_qp_solve(qp, M=solver.cond_M,
+                                  iters=solver.ipm_iters,
+                                  mu0=solver.ipm_mu0,
+                                  alpha_frac=solver.ipm_alpha_frac,
+                                  reg=solver.ipm_reg)
+    return box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
+                        alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg)
+
+
 def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
              params: BlasterParams, F, solver: cfg.SolverConfig
              ) -> Tuple[jnp.ndarray, RTIState, RTIDiagnostics]:
     """One real-time iteration. Returns (u0, updated iterate, diagnostics)."""
     qp = build_qp(spec, state, x0, F, params)
-    sol = box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
-                       kappa=solver.ipm_kappa,
-                       alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg)
+    sol = solve_qp_backend(qp, solver)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
         qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
@@ -177,8 +193,7 @@ def rti_step_jacreuse(spec: OCPSpec, state: RTIState, cache: JacCache,
                       solver: cfg.SolverConfig):
     """RTI tick with Jacobian reuse. Returns (u0, state, cache, diag)."""
     qp, cache = build_qp_jacreuse(spec, state, x0, F, params, cache, refresh)
-    sol = box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
-                       alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg)
+    sol = solve_qp_backend(qp, solver)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
         qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,

@@ -1,0 +1,214 @@
+"""Partial condensing (`qp/condense.py`): HPIPM cond_N capability.
+
+Checks: block maps reproduce the dynamics exactly; the condensed solve
+matches the full-horizon Riccati (equality-only) and the full-horizon IPM
+(active box bounds, including *interior-stage* state bounds that become
+general constraints after condensing); dual re-scattering; vmap batching;
+the blaster-sized RTI QP end to end.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_blaster_tpu.qp.data import QPData, qp_objective
+from mpc_blaster_tpu.qp.ipm import box_qp_solve
+from mpc_blaster_tpu.qp.riccati import lqr_solve
+from mpc_blaster_tpu.qp.condense import (CondensedQP, condense,
+                                         condensed_qp_solve, expand)
+
+from test_qp import random_qp, _check_box_kkt
+
+
+def test_block_maps_reproduce_dynamics():
+    data = random_qp(N=12, nx=4, nu=2, seed=11)
+    cqp = condense(data, M=3)
+    rng = np.random.default_rng(0)
+    dX = jnp.asarray(rng.uniform(-1, 1, (cqp.ncond + 1, 4)))
+    dU = jnp.asarray(rng.uniform(-1, 1, (cqp.ncond, 6)))
+    # Condensed dynamics must equal M rolled-out fine steps.
+    dx, du = expand(cqp, dX, dU)
+    # expand() reconstructs interiors from the maps: check them against a
+    # plain rollout of the original A,B,c from each block-start state.
+    for j in range(cqp.ncond):
+        x = np.asarray(dX[j])
+        for i in range(3):
+            k = 3 * j + i
+            np.testing.assert_allclose(np.asarray(dx[k]), x, atol=1e-12)
+            x = (np.asarray(data.A[k]) @ x
+                 + np.asarray(data.B[k]) @ np.asarray(du[k])
+                 + np.asarray(data.c[k]))
+        # block-end state per the condensed dynamics
+        end = (np.asarray(cqp.Abar[j]) @ np.asarray(dX[j])
+               + np.asarray(cqp.Bbar[j]) @ np.asarray(dU[j])
+               + np.asarray(cqp.cbar[j]))
+        np.testing.assert_allclose(end, x, atol=1e-12)
+
+
+def test_condensed_cost_exact():
+    """Condensed objective == original objective on dynamics-consistent
+    trajectories (constant terms aside — compare differences)."""
+    data = random_qp(N=8, nx=4, nu=2, seed=12)
+    cqp = condense(data, M=4)
+
+    def cond_obj(dX, dU):
+        quad = 0.5 * jnp.einsum("ci,cij,cj->", dX, cqp.Qbar, dX) \
+            + jnp.sum(cqp.qbar * dX) \
+            + 0.5 * jnp.einsum("ci,cij,cj->", dU, cqp.Rbar, dU) \
+            + jnp.sum(cqp.rbar * dU) \
+            + jnp.einsum("ci,cij,cj->", dU, cqp.Sbar, dX[:-1])
+        return quad
+
+    rng = np.random.default_rng(1)
+    vals = []
+    for trial in range(2):
+        dU = jnp.asarray(rng.uniform(-1, 1, (cqp.ncond, 8)))
+        # dynamics-consistent boundary states
+        dXs = [jnp.asarray(data.dx0)]
+        for j in range(cqp.ncond):
+            dXs.append(cqp.Abar[j] @ dXs[-1] + cqp.Bbar[j] @ dU[j]
+                       + cqp.cbar[j])
+        dX = jnp.stack(dXs)
+        dx, du = expand(cqp, dX, dU)
+        full = float(qp_objective(data, dx, du))
+        cond = float(cond_obj(dX, dU))
+        vals.append((full, cond))
+    # same constant offset for both trials
+    d1 = vals[0][0] - vals[0][1]
+    d2 = vals[1][0] - vals[1][1]
+    assert d1 == pytest.approx(d2, abs=1e-9)
+
+
+def test_condensed_equality_only_matches_riccati():
+    data = random_qp(N=12, nx=5, nu=3, seed=13)  # bounds = inf
+    ref = lqr_solve(data)
+    for M in (2, 3, 4, 6):
+        sol = condensed_qp_solve(data, M=M, iters=25)
+        np.testing.assert_allclose(np.asarray(sol.du), np.asarray(ref.du),
+                                   atol=2e-6,
+                                   err_msg=f"M={M}")
+
+
+@pytest.mark.parametrize("M", [2, 4])
+def test_condensed_matches_full_ipm_active_bounds(M):
+    data = random_qp(N=8, nx=5, nu=3, seed=14)
+    free = lqr_solve(data)
+    lim = 0.4 * float(jnp.max(jnp.abs(free.du)))
+    xlim = 0.6 * float(jnp.max(jnp.abs(free.dx[1:])))
+    data = data._replace(lbu=jnp.full_like(data.lbu, -lim),
+                         ubu=jnp.full_like(data.ubu, lim),
+                         lbx=jnp.full_like(data.lbx, -xlim),
+                         ubx=jnp.full_like(data.ubx, xlim))
+    ref = box_qp_solve(data, iters=30)
+    sol = condensed_qp_solve(data, M=M, iters=30)
+    # interior state bounds really are active (otherwise the general-
+    # constraint path is untested)
+    on_bound = np.isclose(np.abs(np.asarray(sol.dx[1:])), xlim, atol=1e-5)
+    interior = np.ones(data.horizon, bool)
+    interior[M - 1::M] = False  # block-end stages are boundary states
+    assert on_bound[interior].any(), "no interior state bound active"
+    # Tolerances: condensing converts interior state boxes (independent
+    # identity rows -> LICQ always holds) into general rows through a
+    # rank-nu control map, so weakly-active interior bounds are degenerate
+    # and the IPM floors ~2 decades above the full-horizon solver (kkt_stat
+    # ~1e-6 in f64 — at/below both the acados NLP tolerance and the f32
+    # floor that governs the TPU path). Same trade HPIPM accepts.
+    np.testing.assert_allclose(np.asarray(sol.du), np.asarray(ref.du),
+                               atol=1e-3)
+    assert float(qp_objective(data, sol.dx, sol.du)) == pytest.approx(
+        float(qp_objective(data, ref.dx, ref.du)), rel=1e-5, abs=1e-6)
+    # the expanded solution satisfies the *full-horizon* KKT conditions,
+    # including re-scattered interior duals
+    _check_box_kkt(data, sol, tol=5e-4)
+
+
+def test_condensed_vmap_batch():
+    datas = [random_qp(N=6, nx=4, nu=2, seed=s, bound_scale=1.5)
+             for s in range(3)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    batched = jax.jit(jax.vmap(lambda d: condensed_qp_solve(d, M=3,
+                                                            iters=15)))
+    out = batched(stacked)
+    for i, d in enumerate(datas):
+        ref = condensed_qp_solve(d, M=3, iters=15)
+        np.testing.assert_allclose(np.asarray(out.du[i]), np.asarray(ref.du),
+                                   atol=1e-8)
+
+
+def test_condensed_blaster_rti_qp():
+    """End to end on the real problem: one sim-preset RTI QP (N=60),
+    condensed M=5 (cond_N=12) vs the standard Riccati IPM."""
+    from mpc_blaster_tpu import config as cfg
+    from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+    from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+    from mpc_blaster_tpu.ocp.spec import build_spec
+    from mpc_blaster_tpu.sqp.rti import build_qp, init_rti_state
+
+    DTYPE = jnp.float64
+    ocp = cfg.simulation_preset().ocp
+    x0 = np.zeros(cfg.NX)
+    x0[2] = 2.0
+    yref = np.zeros(cfg.NY)
+    yref[:3] = (0.4, 0.0, 3.0)
+    spec = build_spec(ocp, yref=yref, dtype=DTYPE)
+    x0 = jnp.asarray(x0, DTYPE)
+    params = BlasterParams.from_config(ocp.model, DTYPE)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    state = init_rti_state(ocp, x0, DTYPE)
+    qp = jax.jit(build_qp, static_argnums=(3,))(spec, state, x0, F, params)
+
+    ref = jax.jit(lambda d: box_qp_solve(d, iters=25))(qp)
+    sol = jax.jit(lambda d: condensed_qp_solve(d, M=5, iters=25))(qp)
+    # compare objectives (the gimbal chain is weakly determined,
+    # CLAUDE.md "Numerical facts": compare objectives, not raw du)
+    o_ref = float(qp_objective(qp, ref.dx, ref.du))
+    o_cond = float(qp_objective(qp, sol.dx, sol.du))
+    assert o_cond == pytest.approx(o_ref, rel=1e-5)
+    # the strongly-determined channels agree to ~0.5% of hover thrust
+    # (the condensed accuracy floor on this 1e-5..1e4 weight spread;
+    # objectives above agree to rel 1e-5)
+    np.testing.assert_allclose(np.asarray(sol.du[:, :4]),
+                               np.asarray(ref.du[:, :4]), atol=0.3)
+    assert float(sol.kkt_eq) < 1e-6
+
+
+def test_condensed_m1_identical_to_full_ipm():
+    """M=1 is a degenerate condensing (no interior stages): the condensed
+    solver must reproduce `box_qp_solve` exactly — same iteration, same
+    fraction-to-boundary, same best-iterate selection."""
+    data = random_qp(N=6, nx=4, nu=2, seed=21)
+    free = lqr_solve(data)
+    lim = 0.4 * float(jnp.max(jnp.abs(free.du)))
+    data = data._replace(lbu=jnp.full_like(data.lbu, -lim),
+                         ubu=jnp.full_like(data.ubu, lim),
+                         lbx=jnp.full_like(data.lbx, -2.0),
+                         ubx=jnp.full_like(data.ubx, 2.0))
+    ref = box_qp_solve(data, iters=20)
+    sol = condensed_qp_solve(data, M=1, iters=20, refine=0)
+    np.testing.assert_allclose(np.asarray(sol.du), np.asarray(ref.du),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol.dx), np.asarray(ref.dx),
+                               atol=1e-12)
+
+
+def test_condensed_backend_closed_loop():
+    """qp_backend='condensed' threads through the whole stack: a short
+    hover closed loop matches the riccati backend to control tolerance."""
+    import dataclasses
+    from mpc_blaster_tpu import config as cfg
+    from mpc_blaster_tpu.sim.closedloop import run_preset
+
+    preset = cfg.simulation_preset()
+    pc = dataclasses.replace(
+        preset,
+        ocp=dataclasses.replace(
+            preset.ocp,
+            solver=dataclasses.replace(preset.ocp.solver,
+                                       qp_backend="condensed", cond_M=5)))
+    ref = run_preset(preset, n_steps=15, with_poc=False, dtype=jnp.float64)
+    res = run_preset(pc, n_steps=15, with_poc=False, dtype=jnp.float64)
+    assert np.isfinite(np.asarray(res.xs)).all()
+    # vehicle-channel agreement at mm level (gimbal chain weakly
+    # determined; condensed QP floor leaves ~0.3% control differences)
+    np.testing.assert_allclose(np.asarray(res.xs[:, :12]),
+                               np.asarray(ref.xs[:, :12]), atol=8e-3)
