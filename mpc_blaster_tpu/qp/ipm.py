@@ -82,13 +82,17 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                  reg: float = 1e-9, s_min: float = 1e-3,
                  mu_min: float = 1e-12,
                  warm_du: jnp.ndarray | None = None,
-                 warm: "IpmWarmStart | None" = None) -> QPSolution:
+                 warm: "IpmWarmStart | None" = None,
+                 riccati: str = "scan") -> QPSolution:
     """Solve the box-constrained OCP QP. Fully jit/vmap-compatible.
 
     warm_du: optional (N, nu) control warm start (RTI shift), used to seed
     the primal trajectory by rolling out the dynamics.
     warm: optional slack/dual warm start (see IpmWarmStart); blended over
     the cold centered init when warm.valid > 0.
+    riccati: inner Newton-system solver — "scan" (sequential per-stage
+    Riccati, best throughput when batched) or "pscan" (associative-scan
+    tree, O(log N) critical path, best latency at batch≈1; `qp/pscan.py`).
 
     All matmuls inside the solve are forced to full f32 precision: TPU's
     default bf16 MXU passes destroy the Riccati/IPM numerics (KKT 0.1->10,

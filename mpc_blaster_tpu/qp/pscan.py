@@ -97,9 +97,22 @@ def lqr_solve_pscan(data: QPData, reg: float = 0.0) -> QPSolution:
 
 
 def _lqr_solve_pscan_impl(data: QPData, reg: float = 0.0) -> QPSolution:
-    A, B, c, Q, q, R, r = (data.A, data.B, data.c, data.Q, data.q, data.R,
-                           data.r)
-    N, nx, nu = data.horizon, data.nx, data.nu
+    dx, du = eqp_solve_pscan(data.A, data.B, data.c, data.Q, data.q,
+                             data.R, data.r, data.dx0, reg)
+    return QPSolution(dx=dx, du=du)
+
+
+def eqp_solve_pscan(A, B, c, Q, q, R, r, dx0, reg: float = 0.0):
+    """Equality-constrained LQR solve with O(log N) parallel depth.
+
+    Same solution as `riccati.riccati_solve`; used standalone by
+    `lqr_solve_pscan` and as the inner Newton-system solve of the IPM's
+    latency-oriented `riccati_backend="pscan"` mode (`qp/ipm.py`): at
+    batch=1 the sequential per-stage Riccati sweeps dominate solve latency,
+    and the associative-scan tree cuts that critical path from O(N) to
+    O(log N) — the TPU answer to HPIPM's tuned sequential kernels.
+    """
+    nx, nu = A.shape[-1], B.shape[-1]
     dtype = A.dtype
     P, p = backward_pass_pscan(A, B, c, Q, q, R, r, reg)
 
@@ -124,8 +137,7 @@ def _lqr_solve_pscan_impl(data: QPData, reg: float = 0.0) -> QPSolution:
         return F2 @ F1, (F2 @ g1[..., None])[..., 0] + g2
 
     Fs, gs = jax.lax.associative_scan(compose, (F, g))
-    dx0 = data.dx0
     dx_tail = jnp.einsum("kij,j->ki", Fs, dx0) + gs
     dx = jnp.concatenate([dx0[None], dx_tail], axis=0)
     du = jnp.einsum("kij,kj->ki", K, dx[:-1]) + kff
-    return QPSolution(dx=dx, du=du)
+    return dx, du
