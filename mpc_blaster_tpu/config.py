@@ -104,13 +104,20 @@ class SolverConfig:
     The reference fixes SQP_RTI + PARTIAL_CONDENSING_HPIPM with
     `qp_solver_iter_max=500` and NLP tolerances 1e-6
     (`blastermodel.py:272-287`). On TPU the iteration budget must be static:
-    ``ipm_iters`` interior-point iterations are always unrolled/scanned, with
-    residual-based masking freezing converged problems.
+    ``ipm_iters`` interior-point iterations are always run (lax.scan), and
+    the best iterate by KKT merit is returned, so extra iterations past
+    convergence are harmless (see `qp/ipm.py`).
+
+    The ``tol_*`` fields are the acceptance thresholds of the acados JSON's
+    `nlp_solver_tol_{stat,eq,ineq,comp} = 1e-6`: they do NOT stop the
+    (static-budget) iteration; they define the per-solve ``converged`` /
+    health flag in `RTIDiagnostics` (`sqp/rti.py::diag_converged`) — the
+    failure-detection surface the reference computes but ignores
+    (`simulation_blaster.py:80`, SURVEY.md §5).
     """
 
     ipm_iters: int = 12
     ipm_mu0: float = 1e-1
-    ipm_kappa: float = 0.2          # centering reduction per iteration
     ipm_alpha_frac: float = 0.995   # fraction-to-boundary
     ipm_reg: float = 1e-8           # Riccati regularization
     sqp_iters: int = 1              # 1 == RTI semantics (SQP_RTI)
@@ -121,6 +128,11 @@ class SolverConfig:
     # denser matmuls).
     qp_backend: str = "riccati"
     cond_M: int = 5
+    # Inner Newton-system solver of the Riccati IPM: "scan" (sequential
+    # per-stage sweeps, best batched throughput), "pscan" (O(log N)
+    # associative-scan factor+solve, latency/sharded-horizon oriented) or
+    # "hybrid" (sequential factorization + parallel-scan RHS solves).
+    riccati: str = "scan"
     tol_stat: float = 1e-6
     tol_eq: float = 1e-6
     tol_ineq: float = 1e-6

@@ -77,8 +77,11 @@ class IpmWarmStart(NamedTuple):
                             jnp.zeros((), dtype))
 
 
+_RICCATI_BACKENDS = ("scan", "pscan", "hybrid")
+
+
 def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
-                 kappa: float = 0.2, alpha_frac: float = 0.995,
+                 alpha_frac: float = 0.995,
                  reg: float = 1e-9, s_min: float = 1e-3,
                  mu_min: float = 1e-12,
                  warm_du: jnp.ndarray | None = None,
@@ -90,9 +93,15 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     the primal trajectory by rolling out the dynamics.
     warm: optional slack/dual warm start (see IpmWarmStart); blended over
     the cold centered init when warm.valid > 0.
-    riccati: inner Newton-system solver — "scan" (sequential per-stage
-    Riccati, best throughput when batched) or "pscan" (associative-scan
-    tree, O(log N) critical path, best latency at batch≈1; `qp/pscan.py`).
+    riccati: inner Newton-system solver —
+      - "scan":   sequential per-stage Riccati sweeps (`qp/riccati.py`);
+                  best throughput when vmapped over a scenario batch.
+      - "pscan":  O(log N)-depth associative-scan factorization AND RHS
+                  solves (`qp/pscan.py`); latency-oriented, and the mode
+                  that shards over a device mesh along the horizon.
+      - "hybrid": sequential factorization + O(log N) RHS solves — avoids
+                  the pscan factorization's (nx, nx) LU custom calls while
+                  still collapsing the 2x2 vector sweeps per iteration.
 
     All matmuls inside the solve are forced to full f32 precision: TPU's
     default bf16 MXU passes destroy the Riccati/IPM numerics (KKT 0.1->10,
@@ -101,14 +110,24 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     slightly inexact Jacobians only make the SQP an inexact Newton method
     (same tradeoff as the reference's sim_method_jac_reuse).
     """
+    if riccati not in _RICCATI_BACKENDS:
+        raise ValueError(f"riccati={riccati!r}; expected one of "
+                         f"{_RICCATI_BACKENDS}")
     with jax.default_matmul_precision("high"):
-        return _box_qp_solve_impl(data, iters, mu0, kappa, alpha_frac, reg,
-                                  s_min, mu_min, warm_du, warm)
+        return _box_qp_solve_impl(data, iters, mu0, alpha_frac, reg,
+                                  s_min, mu_min, warm_du, warm, riccati)
 
 
-def _box_qp_solve_impl(data, iters, mu0, kappa, alpha_frac, reg, s_min,
-                       mu_min, warm_du, warm):
-    del kappa  # superseded by Mehrotra sigma; kept for config compat
+def _box_qp_solve_impl(data, iters, mu0, alpha_frac, reg, s_min,
+                       mu_min, warm_du, warm, riccati="scan"):
+    if riccati == "scan":
+        factorize, solve_rhs = riccati_factorize, riccati_solve_rhs
+    else:
+        from mpc_blaster_tpu.qp.pscan import (
+            riccati_factorize_pscan, riccati_solve_rhs_pscan)
+        factorize = (riccati_factorize_pscan if riccati == "pscan"
+                     else riccati_factorize)
+        solve_rhs = riccati_solve_rhs_pscan
     N, nx, nu = data.horizon, data.nx, data.nu
     dtype = data.A.dtype
 
@@ -241,7 +260,7 @@ def _box_qp_solve_impl(data, iters, mu0, kappa, alpha_frac, reg, s_min,
         sig_u = jnp.minimum(sig_u, sigma_max)
         Qmod = data.Q.at[1:].add(sig_x[:, :, None] * eye_x[None])
         Rmod = data.R + sig_u[:, :, None] * eye_u[None]
-        fac = riccati_factorize(data.A, data.B, Qmod, Rmod, reg)
+        fac = factorize(data.A, data.B, Qmod, Rmod, reg)
 
         gx_full = jnp.einsum("kij,kj->ki", data.Q, state.dx) + data.q
         gu_full = jnp.einsum("kij,kj->ki", data.R, state.du) + data.r
@@ -268,8 +287,8 @@ def _box_qp_solve_impl(data, iters, mu0, kappa, alpha_frac, reg, s_min,
             return q_rhs, r_rhs
 
         def directions(q_rhs, r_rhs, T_lx, T_ux, T_lu, T_uu):
-            d_dx, d_du = riccati_solve_rhs(fac, data.A, data.B, r_eq,
-                                           q_rhs, r_rhs, dx0_zero)
+            d_dx, d_du = solve_rhs(fac, data.A, data.B, r_eq,
+                                   q_rhs, r_rhs, dx0_zero)
             d_slx = jnp.where(mask_lx, d_dx[1:] - r_slx, 0.0)
             d_sux = jnp.where(mask_ux, -d_dx[1:] - r_sux, 0.0)
             d_slu = jnp.where(mask_lu, d_du - r_slu, 0.0)
@@ -363,11 +382,13 @@ def _box_qp_solve_impl(data, iters, mu0, kappa, alpha_frac, reg, s_min,
         )
         return new, (a_p, a_d)
 
+    kkt_fn = _kkt_residuals if riccati == "scan" else _kkt_residuals_pscan
+
     def merit(st: _IpmState):
         """KKT merit for best-iterate selection: stationarity + equality +
         complementarity, all -> 0 at the solution."""
-        kkt_stat, kkt_eq = _kkt_residuals(data, st, mask_lx, mask_ux,
-                                          mask_lu, mask_uu)
+        kkt_stat, kkt_eq = kkt_fn(data, st, mask_lx, mask_ux,
+                                  mask_lu, mask_uu)
         return kkt_stat + kkt_eq + comp_sum(st) / n_ineq, kkt_stat, kkt_eq
 
     # Interior-point iterations are not a contraction once converged:
@@ -445,6 +466,46 @@ def _kkt_residuals(data: QPData, st: _IpmState, mask_lx, mask_ux,
          st.dx[:-1], st.du, lxb_for_stage, lam_u_bnd),
         reverse=True)
     kkt_stat = jnp.max(stat_us)
+    kkt_eq = jnp.max(jnp.abs(
+        st.dx[1:] - jnp.einsum("kij,kj->ki", data.A, st.dx[:-1])
+        - jnp.einsum("kij,kj->ki", data.B, st.du) - data.c))
+    return kkt_stat, kkt_eq
+
+
+def _kkt_residuals_pscan(data: QPData, st: _IpmState, mask_lx, mask_ux,
+                         mask_lu, mask_uu):
+    """`_kkt_residuals` with the adjoint recursion as an O(log N)
+    associative suffix scan of affine maps (latency-mode companion of
+    `qp/pscan.py::riccati_solve_rhs_pscan`)."""
+    nx = data.nx
+    dtype = st.dx.dtype
+    lam_x_bnd = jnp.where(mask_lx, st.lam_lx, 0.0) - jnp.where(
+        mask_ux, st.lam_ux, 0.0)
+    lam_u_bnd = jnp.where(mask_lu, st.lam_lu, 0.0) - jnp.where(
+        mask_uu, st.lam_uu, 0.0)
+
+    lamN = data.Q[-1] @ st.dx[-1] + data.q[-1] - lam_x_bnd[-1]
+    # lam_k = A_k' lam_{k+1} + v_k for k = 1..N-1 (stage-0 lam unused)
+    lxb_for_stage = jnp.concatenate(
+        [jnp.zeros((1,) + lam_x_bnd.shape[1:], lam_x_bnd.dtype),
+         lam_x_bnd[:-1]], axis=0)
+    v = (jnp.einsum("kij,kj->ki", data.Q[:-1], st.dx[:-1]) + data.q[:-1]
+         - lxb_for_stage)
+    At = data.A.swapaxes(-1, -2)
+    Ms = jnp.concatenate([At, jnp.zeros((1, nx, nx), dtype)], axis=0)
+    vs = jnp.concatenate([v, lamN[None]], axis=0)
+
+    def comp(earlier, later):
+        Me, ve = earlier
+        Ml, vl = later
+        return Me @ Ml, jnp.einsum("kij,kj->ki", Me, vl) + ve
+
+    _, lams = jax.lax.associative_scan(lambda a, b: comp(b, a), (Ms, vs),
+                                       reverse=True)
+    lam1 = lams[1:]                                    # lam_1..lam_N
+    stat_u = (jnp.einsum("kij,kj->ki", data.R, st.du) + data.r
+              + jnp.einsum("kji,kj->ki", data.B, lam1) - lam_u_bnd)
+    kkt_stat = jnp.max(jnp.abs(stat_u))
     kkt_eq = jnp.max(jnp.abs(
         st.dx[1:] - jnp.einsum("kij,kj->ki", data.A, st.dx[:-1])
         - jnp.einsum("kij,kj->ki", data.B, st.du) - data.c))

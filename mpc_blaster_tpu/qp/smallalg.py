@@ -5,8 +5,8 @@ serialize badly on TPU for tiny (nu=6) blocks, especially under vmap over
 scenario batches. These routines unroll the factorization at trace time
 into plain elementwise ops (n^3/3 multiplies for n=6 is 72 flops), which
 XLA fuses and vectorizes over any leading batch dims — the same
-"batch-across-lanes, unroll the tiny dims" layout the Pallas kernels use
-(ops/pallas_riccati.py), and the moral equivalent of BLASFEO's fixed-size
+"batch-across-lanes, unroll the tiny dims" layout the Pallas IPM kernel
+uses (ops/pallas_ipm.py), and the moral equivalent of BLASFEO's fixed-size
 panel kernels inside HPIPM (SURVEY.md §2.2).
 """
 from __future__ import annotations

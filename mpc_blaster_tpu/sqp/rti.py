@@ -46,6 +46,33 @@ class RTIDiagnostics(NamedTuple):
     qp_mu: jnp.ndarray
     step_norm_x: jnp.ndarray
     step_norm_u: jnp.ndarray
+    bound_viol: jnp.ndarray  # worst primal box violation of the new iterate
+
+
+def _bound_violation(spec: OCPSpec, state: RTIState) -> jnp.ndarray:
+    """Worst box-bound violation of an iterate (0 when feasible)."""
+    vx = jnp.maximum(spec.lbx[None] - state.xbar,
+                     state.xbar - spec.ubx[None])
+    vu = jnp.maximum(spec.lbu[None] - state.ubar,
+                     state.ubar - spec.ubu[None])
+    return jnp.maximum(jnp.maximum(jnp.max(vx), jnp.max(vu)), 0.0)
+
+
+def diag_converged(diag: RTIDiagnostics, solver: cfg.SolverConfig
+                   ) -> jnp.ndarray:
+    """Per-solve health flag against the configured acceptance tolerances.
+
+    The acados JSON sets `nlp_solver_tol_{stat,eq,ineq,comp} = 1e-6` as its
+    acceptance test (`blastermodel.py:285-287` semantics); this is the
+    same test on our static-budget solves. Note: the QP's dx/du scale is
+    the *delta* iterate, so tol_stat applies to the QP stationarity
+    residual (cost-weight units, O(1e3) weights — 1e-6 relative is
+    demanding; loosen per deployment). Returns a traced bool (vmappable).
+    """
+    return ((diag.qp_kkt_stat < solver.tol_stat)
+            & (diag.qp_kkt_eq < solver.tol_eq)
+            & (diag.bound_viol < solver.tol_ineq)
+            & (diag.qp_mu < solver.tol_comp))
 
 
 def init_rti_state(ocp: cfg.OCPConfig, x0, dtype=jnp.float32) -> RTIState:
@@ -113,7 +140,8 @@ def solve_qp_backend(qp: QPData, solver: cfg.SolverConfig):
                                   alpha_frac=solver.ipm_alpha_frac,
                                   reg=solver.ipm_reg)
     return box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
-                        alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg)
+                        alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg,
+                        riccati=solver.riccati)
 
 
 def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
@@ -127,6 +155,7 @@ def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
         qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
         step_norm_x=jnp.max(jnp.abs(sol.dx)),
         step_norm_u=jnp.max(jnp.abs(sol.du)),
+        bound_viol=_bound_violation(spec, new_state),
     )
     return new_state.ubar[0], new_state, diag
 
@@ -199,6 +228,7 @@ def rti_step_jacreuse(spec: OCPSpec, state: RTIState, cache: JacCache,
         qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
         step_norm_x=jnp.max(jnp.abs(sol.dx)),
         step_norm_u=jnp.max(jnp.abs(sol.du)),
+        bound_viol=_bound_violation(spec, new_state),
     )
     return new_state.ubar[0], new_state, cache, diag
 
@@ -223,6 +253,7 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
         qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
         step_norm_x=jnp.max(jnp.abs(sol.dx)),
         step_norm_u=jnp.max(jnp.abs(sol.du)),
+        bound_viol=_bound_violation(spec, new_state),
     )
     return new_state.ubar[0], new_state, warm_start_from(sol), diag
 
@@ -253,6 +284,7 @@ def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
         qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
         step_norm_x=jnp.max(jnp.abs(sol.dx)),
         step_norm_u=jnp.max(jnp.abs(sol.du)),
+        bound_viol=_bound_violation(spec, new_state),
     )
     return new_state.ubar[0], new_state, diag, res
 

@@ -73,8 +73,7 @@ def test_sharded_sweep_runs_and_tracks():
     errs = np.linalg.norm(np.asarray(finals)[:, 0:3] - [0, 0, 3.5], axis=1)
     x0errs = np.linalg.norm(np.asarray(x0s)[:, 0:3] - [0, 0, 3.5], axis=1)
     assert errs.mean() < 0.55 * x0errs.mean()
-    assert float(mean_err) == np.testing.assert_allclose(
-        float(mean_err), errs.mean(), rtol=1e-6) or True
+    np.testing.assert_allclose(float(mean_err), errs.mean(), rtol=1e-6)
 
 
 def test_batched_step_per_scenario_spec():
