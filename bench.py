@@ -104,6 +104,37 @@ def main():
     best = max(rates)
     best_backend = "pallas" if results.get("pallas") == best else "xla"
 
+    # ---- flagship N=60 horizon (the reference's simulation preset dims;
+    # pallas runs the fully-HBM-streamed kernel configuration) ----
+    ocp60 = preset.ocp
+    spec60 = build_spec(ocp60, yref=preset.loop.yref, dtype=dtype)
+    B60, K60 = 256, 3
+    x60 = x0s[:B60]
+    states60 = jax.vmap(lambda x: init_rti_state(ocp60, x, dtype))(x60)
+    for backend in (["xla", "pallas"] if pallas_available() else ["xla"]):
+        try:
+            log(f"bench: compiling N=60 {backend} batched chain "
+                f"(B={B60}, K={K60})")
+            step60 = batched_rti_step(ocp60, dtype=dtype, jit=False,
+                                      backend=backend)
+
+            @jax.jit
+            def k60(spec, states, x0s):
+                def body(carry, _):
+                    sts = carry
+                    u0s, sts, _ = step60(spec, sts, x0s)
+                    return sts, u0s[0, 0]
+                sts, _ = jax.lax.scan(body, states, None, length=K60)
+                return sts
+
+            dt60 = _timeit(lambda: k60(spec60, states60, x60))
+            results[f"n60_{backend}"] = (B60 * K60) / dt60
+            log(f"bench: N=60 {backend} = "
+                f"{results[f'n60_{backend}']:.0f} solves/s")
+        except Exception as e:  # pragma: no cover
+            results[f"n60_{backend}"] = None
+            results[f"n60_{backend}_error"] = str(e)[:200]
+
     # ---- single-trajectory on-device latency (chained scan, XLA path) ----
     log("bench: compiling single-trajectory latency chain")
     single_step = make_rti_step(ocp, dtype=dtype, jit=False)
@@ -122,18 +153,46 @@ def main():
     lat = _timeit(lambda: chain(spec, st1, x0s[0]), reps=3) / K2
     p50_ms = lat * 1e3
 
-    # ---- warm-started low-iteration latency loop ----
-    # IPM slack/dual warm starting between ticks lets 6 iterations match the
-    # 12-iteration cold quality (test_warm_started_rti_fewer_iterations);
-    # this is the deployed single-trajectory configuration.
-    log("bench: compiling warm-start latency loop")
+    # ---- deployed low-iteration latency loop (the >=1000 Hz row) ----
+    # Full RTI ticks with the QP in the fused Pallas IPM mega-kernel
+    # (qp_backend="pallas": ~0.06 ms/IPM-iteration vs ~0.36 on the XLA
+    # path). The QP cold-starts every tick — the reference's own HPIPM
+    # configuration (JSON `qp_solver_warm_start=0`): measured on hardware,
+    # slack/dual warm chains degrade transient closed loops (altitude
+    # overshoot, 10x figure-8 error) exactly as acados' default expects,
+    # while 6 cold Mehrotra iterations already match the 12-iteration
+    # tracking quality via best-KKT-iterate selection.
     from mpc_blaster_tpu.sim.closedloop import make_closed_loop
-    ocp_warm = dataclasses.replace(
-        ocp, solver=dataclasses.replace(ocp.solver, ipm_iters=6))
-    warm_runner = make_closed_loop(ocp_warm, K2, dtype=dtype,
-                                   warm_start=True)
-    lat_w = _timeit(lambda: warm_runner(spec, x0s[0]), reps=3) / K2
-    warm_ms = lat_w * 1e3
+    qp_backend = "pallas" if pallas_available() else "riccati"
+    rt_hz = {}
+    for iters in (6, 4):
+        log(f"bench: compiling rt{iters} ({qp_backend}) latency loop")
+        ocp_rt = dataclasses.replace(
+            ocp, solver=dataclasses.replace(ocp.solver, ipm_iters=iters,
+                                            qp_backend=qp_backend))
+        rt_runner = make_closed_loop(ocp_rt, K2, dtype=dtype)
+        lat_w = _timeit(lambda: rt_runner(spec, x0s[0]), reps=3) / K2
+        rt_hz[iters] = 1e3 / (lat_w * 1e3)
+        log(f"bench: rt{iters} = {lat_w * 1e3:.3f} ms "
+            f"({rt_hz[iters]:.0f} Hz)")
+    rt_ms = 1e3 / rt_hz[6]
+
+    # ---- control quality of the deployed config: figure-8 tracking ----
+    log("bench: figure-8 tracking with the deployed rt6 config")
+    from mpc_blaster_tpu.sim.tasks import run_figure8
+    fig8 = {}
+    for iters, backend in ((6, qp_backend), (12, "riccati")):
+        ocp_f = dataclasses.replace(
+            ocp, solver=dataclasses.replace(ocp.solver, ipm_iters=iters,
+                                            qp_backend=backend))
+        preset_f = dataclasses.replace(preset, ocp=ocp_f)
+        fig = run_figure8(preset_f, n_steps=220, dtype=dtype)
+        xs = np.asarray(fig.xs)
+        refs = np.asarray(fig.refs)
+        err = np.linalg.norm(xs[1:, 0:2] - refs[:, 0:2], axis=1)
+        fig8[iters] = float(err[60:].max())
+        log(f"bench: figure-8 {backend}{iters} settle error = "
+            f"{fig8[iters]:.4f} m")
 
     baseline_rate = 30.0  # reference real-time solve rate (33.3 ms/tick)
     print(json.dumps({
@@ -146,8 +205,15 @@ def main():
         "pallas_solves_per_s": round(results.get("pallas") or 0.0, 1),
         "single_solve_p50_ms": round(p50_ms, 3),
         "single_solve_hz": round(1e3 / p50_ms, 1),
-        "warm6_solve_p50_ms": round(warm_ms, 3),
-        "warm6_solve_hz": round(1e3 / warm_ms, 1),
+        "rt_qp_backend": qp_backend,
+        "rt6_solve_p50_ms": round(rt_ms, 3),
+        "rt6_solve_hz": round(rt_hz[6], 1),
+        "rt4_solve_hz": round(rt_hz[4], 1),
+        "fig8_rt6_settle_err_m": round(fig8[6], 4),
+        "fig8_cold12_settle_err_m": round(fig8[12], 4),
+        "n60_xla_solves_per_s": round(results.get("n60_xla") or 0.0, 1),
+        "n60_pallas_solves_per_s": round(results.get("n60_pallas") or 0.0,
+                                         1),
         "realtime_budget_ms": 33.333,
         "batch": B,
         "device": str(dev),

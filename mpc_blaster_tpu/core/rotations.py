@@ -136,3 +136,16 @@ def euler_zyx_to_quat(eul: jnp.ndarray) -> jnp.ndarray:
         cph * sth * cps + sph * cth * sps,
         cph * cth * sps - sph * sth * cps,
     ], -1)
+
+
+def quat_to_euler_zyx(q: jnp.ndarray) -> jnp.ndarray:
+    """[phi, theta, psi] ZYX Euler from a [w,x,y,z] unit quaternion.
+
+    Inverse of `euler_zyx_to_quat`; used by the UDP telemetry path
+    (io/transport.py) to hand PoseStamped attitude to the Euler-state
+    controller. theta is asin-clamped against |.|>1 roundoff."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    phi = jnp.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    theta = jnp.arcsin(jnp.clip(2 * (w * y - x * z), -1.0, 1.0))
+    psi = jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    return jnp.stack([phi, theta, psi], -1)

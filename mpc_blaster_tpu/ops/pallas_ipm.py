@@ -7,6 +7,11 @@ arithmetic is ~0.1 ms. This kernel runs the WHOLE Mehrotra
 predictor-corrector solve (factorization, two RHS sweeps, fraction-to-
 boundary line searches, merit/best-iterate tracking — every IPM iteration)
 inside ONE `pallas_call`, eliminating the dispatch overhead entirely.
+Measured (v5e, N=20): ~0.06 ms per IPM iteration vs ~0.36 ms on the XLA
+path — which is what makes the >=1 kHz single-trajectory loop possible
+(BASELINE.md north star; deployed as `SolverConfig(qp_backend="pallas",
+ipm_iters=6)` with per-tick cold starts, matching the reference's HPIPM
+`qp_solver_warm_start=0`).
 
 Layout: batch-on-lanes. Every per-stage matrix is stored (rows, cols, B)
 with B on the 128-wide lane axis; matrix products become unrolled sums of
@@ -21,21 +26,33 @@ kernel's value stack):
     so input blocks are not double-buffered across grid steps;
   - every stage loop is a `fori_loop` with dynamic ref indexing, so Mosaic
     reuses one stage's worth of stack temporaries;
-  - cost Hessians are passed stage-invariant (Q_stage, Q_term, R_stage) —
-    the LINEAR_LS structure of the OCP (`ocp/spec.py`); only gradients
-    vary per stage;
-  - only the *predictor* directions are stored; corrector directions are
-    recomputed on the fly in the line-search and update passes;
+  - A and B are PACKED into one (N, nx, nx+nu, LANES) record; for long
+    horizons (`stream_big`, default N > 20) the record plus the Z gain
+    tensor live in HBM and are DMA'd per stage — with P streaming
+    (`stream_p`) this is what fits the flagship N=60 problem;
+  - bound masks are DERIVED in-kernel from the sanitized bound values
+    (+-inf is encoded as +-1e18 by the host wrapper) instead of being
+    carried as four extra mask tensors;
+  - slack/dual state lives in the OUTPUT refs (warm-start outputs), with
+    the warm-start *inputs* aliased onto them (`input_output_aliases`);
+  - predictor (affine) directions are kept in their own ddxa/ddua
+    buffers and the per-bound predictor slack/dual directions are
+    recomputed on the fly wherever the Mehrotra targets need them —
+    cheaper in VMEM than storing all eight direction families;
   - no transposed copies are stored; transposes happen on the fly.
 
 Semantics match `qp/ipm.py` (same init, Mehrotra + Gondzio clipping,
-f32 floors, best-iterate on dx/du), with ALL bounds assumed finite (true
-for the BLASTER OCP: full state+control boxes, `blastermodel.py:261-270`);
-the XLA path remains the general fallback.
+f32 floors, equilibrated fail-safe Cholesky, best-iterate on dx/du).
+Infinite bounds are masked exactly like the XLA path. One deliberate
+difference: the returned slacks/duals (and therefore the warm-start
+output) are the LAST iterate's, not the best-KKT iterate's — an interior
+warm start wants the most centered point, and it saves 8 best-tracking
+buffers of VMEM.
 """
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +67,13 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 LANES = 128
-_BIG = 1e20
+_BIG = 1e20     # slack sentinel for masked (infinite) bounds
+_BIGB = 1e18    # finite stand-in for an infinite bound value
+_MTHR = 5e17    # |bound| above this is treated as infinite (mask = 0)
+
+# Isolation toggle for hardware debugging: input_output_aliases maps the
+# warm-start inputs onto the slack/dual outputs (saves HBM traffic).
+_USE_ALIASES = _os.environ.get("MPC_PALLAS_NO_ALIAS", "") != "1"
 
 
 def pallas_available() -> bool:
@@ -88,15 +111,32 @@ def _matvec(M, y):
 
 
 def _chol_inverse_lanes(M):
-    """(n, n, B) SPD -> inverse (n, n, B), unrolled over entries."""
+    """(n, n, B) SPD -> inverse (n, n, B), unrolled over entries.
+
+    Jacobi-equilibrated and FAIL-SAFE (mirrors
+    qp/smallalg.py::chol_inverse): the IPM's barrier-modified Huu mixes
+    diagonal scales across ~14 orders of magnitude (R_swivel*dt ~ 3e-7 vs
+    sigma_max 1e7), so the matrix is scaled to unit diagonal before
+    factorization; and when the input is detected indefinite (f32
+    cancellation degrades the Riccati P's small eigendirections at
+    |P| ~ 1e7) the ZERO matrix is returned per lane — K collapses to 0
+    for that stage instead of exploding the recursion to inf/NaN."""
     n = M.shape[0]
-    ent = [[M[i][j] for j in range(n)] for i in range(n)]  # (B,) each
+    diag_ok = None
+    for i in range(n):
+        c = M[i][i] > 0.0
+        diag_ok = c if diag_ok is None else (diag_ok & c)
+    dscale = [jnp.sqrt(jnp.maximum(M[i][i], 1e-30)) for i in range(n)]
+    ent = [[M[i][j] / (dscale[i] * dscale[j]) for j in range(n)]
+           for i in range(n)]                              # (B,) each
     L = [[None] * n for _ in range(n)]
+    min_piv = None
     for j in range(n):
         s = ent[j][j]
         for p in range(j):
             s = s - L[j][p] * L[j][p]
-        d = jnp.sqrt(s)
+        min_piv = s if min_piv is None else jnp.minimum(min_piv, s)
+        d = jnp.sqrt(jnp.maximum(s, 1e-12))
         L[j][j] = d
         inv_d = 1.0 / d
         for i in range(j + 1, n):
@@ -112,6 +152,7 @@ def _chol_inverse_lanes(M):
             for k in range(j + 1, i):
                 s = s + L[i][k] * Li[k][j]
             Li[i][j] = -s / L[i][i]
+    ok = diag_ok & (min_piv > 1e-10)               # (B,)
     out_rows = []
     for i in range(n):
         cols = []
@@ -120,27 +161,33 @@ def _chol_inverse_lanes(M):
             for k in range(max(i, j), n):
                 t = Li[k][i] * Li[k][j]
                 s = t if s is None else s + t
-            cols.append(s)
+            cols.append(jnp.where(ok, s / (dscale[i] * dscale[j]), 0.0))
         out_rows.append(jnp.stack(cols, axis=0))   # (n, B)
     return jnp.stack(out_rows, axis=0)             # (n, n, B)
 
 
 # ------------------------------- the kernel -------------------------------
 
-def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
-                lbx_ref, ubx_ref, lbu_ref, ubu_ref, dx0_ref,
-                dx_out, du_out, diag_out, P_hbm,
-                P_s, psem, Z_s, Hinv_s, kff_s,
-                dx_s, du_s, slx_s, sux_s, lam_lx_s, lam_ux_s,
+def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
+                lbx_ref, ubx_ref, lbu_ref, ubu_ref, dx0_ref, wvalid_ref,
+                wslx_ref, wsux_ref, wllx_ref, wlux_ref,
+                wslu_ref, wsuu_ref, wllu_ref, wluu_ref,
+                dx_out, du_out, diag_out, P_hbm, Z_hbm,
+                slx_s, sux_s, lam_lx_s, lam_ux_s,
                 slu_s, suu_s, lam_lu_s, lam_uu_s,
+                P_s, psem, AB_s, absem, Zsl_s, zsem,
+                Z_s, Hinv_s, kff_s,
+                dx_s, du_s,
                 bdx_s, bdu_s, bm_s,
-                ddx_s, ddu_s, qr_s, rr_s, req_s,
-                aslx_s, asux_s, aslu_s, asuu_s,
-                allx_s, alux_s, allu_s, aluu_s,
+                ddx_s, ddu_s, ddxa_s, ddua_s,
+                qr_s, rr_s, req_s,
                 *, N: int, nx: int, nu: int, iters: int, mu0: float,
                 alpha_frac: float, reg: float, s_min: float, mu_min: float,
                 sigma_max: float, lam_max: float, eps_s: float,
-                stream_p: bool):
+                stream_p: bool, stream_big: bool):
+    """NOTE on naming: slx_s..lam_uu_s are OUTPUT refs (warm-start outputs)
+    doubling as the iterate's slack/dual state; the wslx_ref.. inputs are
+    aliased onto them and must only be read before the init pass writes."""
     f32 = jnp.float32
     Bt = dx0_ref.shape[-1]
 
@@ -149,40 +196,129 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     eye_x = jnp.broadcast_to(jnp.eye(nx, dtype=f32)[:, :, None],
                              (nx, nx, Bt))
 
-    # ---- initial point: rollout (du=0) + 10%-inset clamp ----
+    # ---- streamed-data accessors (A/B record, Z gains, P Hessians) ----
+    if stream_big:
+        def getAB(k):
+            cp = pltpu.make_async_copy(AB_ref.at[k], AB_s.at[0],
+                                       absem.at[0])
+            cp.start()
+            cp.wait()
+            blk = AB_s[0]
+            return blk[:, :nx], blk[:, nx:]
+
+        def z_put(k, Zv):
+            Zsl_s[0] = Zv
+            cp = pltpu.make_async_copy(Zsl_s.at[0], Z_hbm.at[k], zsem.at[0])
+            cp.start()
+            cp.wait()
+
+        def z_get(k):
+            cp = pltpu.make_async_copy(Z_hbm.at[k], Zsl_s.at[1], zsem.at[1])
+            cp.start()
+            cp.wait()
+            return Zsl_s[1]
+    else:
+        def getAB(k):
+            blk = AB_ref[k]
+            return blk[:, :nx], blk[:, nx:]
+
+        def z_put(k, Zv):
+            Z_s[k] = Zv
+
+        def z_get(k):
+            return Z_s[k]
+
+    # ---- masks derived from sanitized bound values ----
+    def m_lo(b):
+        return (b > -_MTHR).astype(f32)
+
+    def m_hi(b):
+        return (b < _MTHR).astype(f32)
+
+    use_warm = wvalid_ref[0] > 0.5                   # (B,) bool
+
+    # per-entry isfinite guard: a single NaN/inf in a previous tick's
+    # slacks/duals must fall back to the cold init, not poison the chain
+    def blend_s(w, cold, mask):
+        w = jnp.clip(w, s_min * 1e-2, _BIG)
+        ok = use_warm[None, :] & (mask > 0.5) & jnp.isfinite(w)
+        return jnp.where(ok, w, cold)
+
+    def blend_l(w, cold, mask):
+        w = jnp.maximum(jnp.clip(w, 0.0, lam_max), 1e-8)
+        ok = use_warm[None, :] & (mask > 0.5) & jnp.isfinite(w)
+        return jnp.where(ok, w, cold)
+
+    # ---- initial point: rollout (du=0) + mask-aware 10%-inset clamp,
+    # centered slacks/duals, then warm blend (reads the aliased warm
+    # inputs BEFORE overwriting them) ----
     dx_s[0] = dx0_ref[...]
 
+    def clamp_into(v, lb, ub, ml, mu_):
+        both = (ml > 0.5) & (mu_ > 0.5)
+        w = jnp.where(both, ub - lb, 1.0)
+        lo = jnp.where(ml > 0.5, lb + 0.1 * w, -_BIG)
+        hi = jnp.where(mu_ > 0.5, ub - 0.1 * w, _BIG)
+        return jnp.clip(v, lo, jnp.maximum(hi, lo))
+
     def init_roll(k, _):
-        nxt = _matvec(A_ref[k], dx_s[k]) + c_ref[k]
+        A_k, B_k = getAB(k)
+        nxt = _matvec(A_k, dx_s[k]) + c_ref[k]
         lb, ub = lbx_ref[k], ubx_ref[k]
-        w = ub - lb
-        nxt = jnp.clip(nxt, lb + 0.1 * w, ub - 0.1 * w)
+        mlx, mux = m_lo(lb), m_hi(ub)
+        nxt = clamp_into(nxt, lb, ub, mlx, mux)
         dx_s[k + 1] = nxt
-        slx_s[k] = jnp.maximum(nxt - lb, s_min)
-        sux_s[k] = jnp.maximum(ub - nxt, s_min)
-        lam_lx_s[k] = mu0 / slx_s[k]
-        lam_ux_s[k] = mu0 / sux_s[k]
+        c_slx = jnp.where(mlx > 0.5, jnp.maximum(nxt - lb, s_min), _BIG)
+        c_sux = jnp.where(mux > 0.5, jnp.maximum(ub - nxt, s_min), _BIG)
+        c_llx = jnp.where(mlx > 0.5, mu0 / c_slx, 0.0)
+        c_lux = jnp.where(mux > 0.5, mu0 / c_sux, 0.0)
+        slx_s[k] = blend_s(wslx_ref[k], c_slx, mlx)
+        sux_s[k] = blend_s(wsux_ref[k], c_sux, mux)
+        lam_lx_s[k] = jnp.where(mlx > 0.5,
+                                blend_l(wllx_ref[k], c_llx, mlx), 0.0)
+        lam_ux_s[k] = jnp.where(mux > 0.5,
+                                blend_l(wlux_ref[k], c_lux, mux), 0.0)
+
         lbu_k, ubu_k = lbu_ref[k], ubu_ref[k]
-        wu = ubu_k - lbu_k
-        du_k = jnp.clip(jnp.zeros((nu, Bt), f32), lbu_k + 0.1 * wu,
-                        ubu_k - 0.1 * wu)
+        mlu, muu = m_lo(lbu_k), m_hi(ubu_k)
+        du_k = clamp_into(jnp.zeros((nu, Bt), f32), lbu_k, ubu_k, mlu, muu)
         du_s[k] = du_k
-        slu_s[k] = jnp.maximum(du_k - lbu_k, s_min)
-        suu_s[k] = jnp.maximum(ubu_k - du_k, s_min)
-        lam_lu_s[k] = mu0 / slu_s[k]
-        lam_uu_s[k] = mu0 / suu_s[k]
+        c_slu = jnp.where(mlu > 0.5, jnp.maximum(du_k - lbu_k, s_min), _BIG)
+        c_suu = jnp.where(muu > 0.5, jnp.maximum(ubu_k - du_k, s_min), _BIG)
+        c_llu = jnp.where(mlu > 0.5, mu0 / c_slu, 0.0)
+        c_luu = jnp.where(muu > 0.5, mu0 / c_suu, 0.0)
+        slu_s[k] = blend_s(wslu_ref[k], c_slu, mlu)
+        suu_s[k] = blend_s(wsuu_ref[k], c_suu, muu)
+        lam_lu_s[k] = jnp.where(mlu > 0.5,
+                                blend_l(wllu_ref[k], c_llu, mlu), 0.0)
+        lam_uu_s[k] = jnp.where(muu > 0.5,
+                                blend_l(wluu_ref[k], c_luu, muu), 0.0)
         return 0
 
     jax.lax.fori_loop(0, N, init_roll, 0)
 
-    n_ineq = f32(2 * N * (nx + nu))
+    # per-problem inequality count from the derived masks
+    def count_ineq(k, acc):
+        return (acc
+                + jnp.sum(m_lo(lbx_ref[k]), axis=0)
+                + jnp.sum(m_hi(ubx_ref[k]), axis=0)
+                + jnp.sum(m_lo(lbu_ref[k]), axis=0)
+                + jnp.sum(m_hi(ubu_ref[k]), axis=0))
+
+    n_ineq = jnp.maximum(
+        jax.lax.fori_loop(0, N, count_ineq, jnp.zeros((Bt,), f32)), 1.0)
 
     def comp_sum():
         def body(k, acc):
-            return (acc + jnp.sum(slx_s[k] * lam_lx_s[k], axis=0)
-                    + jnp.sum(sux_s[k] * lam_ux_s[k], axis=0)
-                    + jnp.sum(slu_s[k] * lam_lu_s[k], axis=0)
-                    + jnp.sum(suu_s[k] * lam_uu_s[k], axis=0))
+            return (acc
+                    + jnp.sum(m_lo(lbx_ref[k]) * slx_s[k] * lam_lx_s[k],
+                              axis=0)
+                    + jnp.sum(m_hi(ubx_ref[k]) * sux_s[k] * lam_ux_s[k],
+                              axis=0)
+                    + jnp.sum(m_lo(lbu_ref[k]) * slu_s[k] * lam_lu_s[k],
+                              axis=0)
+                    + jnp.sum(m_hi(ubu_ref[k]) * suu_s[k] * lam_uu_s[k],
+                              axis=0))
         return jax.lax.fori_loop(0, N, body, jnp.zeros((Bt,), f32))
 
     def kkt():
@@ -193,15 +329,16 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         def bwd(i, carry):
             lam, stat, eq = carry
             k = N - 1 - i
+            A_k, B_k = getAB(k)
             su = (_contractT_vec(R1_ref[...], du_s[k]) + r_ref[k]
-                  + _contractT_vec(B_ref[k], lam)
+                  + _contractT_vec(B_k, lam)
                   - (lam_lu_s[k] - lam_uu_s[k]))
             stat = jnp.maximum(stat, jnp.max(jnp.abs(su), axis=0))
-            pred = (_matvec(A_ref[k], dx_s[k])
-                    + _matvec(B_ref[k], du_s[k]) + c_ref[k] - dx_s[k + 1])
+            pred = (_matvec(A_k, dx_s[k])
+                    + _matvec(B_k, du_s[k]) + c_ref[k] - dx_s[k + 1])
             eq = jnp.maximum(eq, jnp.max(jnp.abs(pred), axis=0))
             lam_new = (_contractT_vec(Qs_ref[...], dx_s[k]) + q_ref[k]
-                       + _contractT_vec(A_ref[k], lam))
+                       + _contractT_vec(A_k, lam))
             km1 = jnp.maximum(k - 1, 0)
             bnd = lam_lx_s[km1] - lam_ux_s[km1]
             lam_new = lam_new - jnp.where(k >= 1, bnd, 0.0)
@@ -228,12 +365,12 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
     def _stage_factor(P, k):
         """One backward Riccati stage: P_{k+1} -> (P_k, Z_k, Hinv_k)."""
-        A_k = A_ref[k]
-        B_k = B_ref[k]
+        A_k, B_k = getAB(k)
         PA = _contractT(P, A_k)                    # P'A = PA (sym)
         PB = _contractT(P, B_k)
-        sig_u = jnp.minimum(lam_lu_s[k] / slu_s[k]
-                            + lam_uu_s[k] / suu_s[k], sigma_max)
+        sig_u = jnp.minimum(
+            m_lo(lbu_ref[k]) * lam_lu_s[k] / slu_s[k]
+            + m_hi(ubu_ref[k]) * lam_uu_s[k] / suu_s[k], sigma_max)
         Huu = (_contractT(B_k, PB) + R1_ref[...] + reg * eye_u
                + sig_u[:, None, :] * eye_u)
         Hux = _contractT(B_k, PA)                  # (nu, nx, B)
@@ -241,18 +378,21 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         Z = _contractT(Hinv, Hux)                  # Hinv Hux = -K
         Pk = Qs_ref[...] + _contractT(A_k, PA) - _contractT(Hux, Z)
         km1 = jnp.maximum(k - 1, 0)
-        sig_x = jnp.minimum(lam_lx_s[km1] / slx_s[km1]
-                            + lam_ux_s[km1] / sux_s[km1], sigma_max)
+        sig_x = jnp.minimum(
+            m_lo(lbx_ref[km1]) * lam_lx_s[km1] / slx_s[km1]
+            + m_hi(ubx_ref[km1]) * lam_ux_s[km1] / sux_s[km1], sigma_max)
         sig_x = jnp.where(k >= 1, sig_x, 0.0)
         Pk = Pk + sig_x[:, None, :] * eye_x
         Pk = 0.5 * (Pk + jnp.swapaxes(Pk, 0, 1))
-        Z_s[k] = Z
+        z_put(k, Z)
         Hinv_s[k] = Hinv
         return Pk
 
     def _terminal_P():
-        sigN = jnp.minimum(lam_lx_s[N - 1] / slx_s[N - 1]
-                           + lam_ux_s[N - 1] / sux_s[N - 1], sigma_max)
+        sigN = jnp.minimum(
+            m_lo(lbx_ref[N - 1]) * lam_lx_s[N - 1] / slx_s[N - 1]
+            + m_hi(ubx_ref[N - 1]) * lam_ux_s[N - 1] / sux_s[N - 1],
+            sigma_max)
         return Qt_ref[...] + sigN[:, None, :] * eye_x
 
     def _p_write(slot, row):
@@ -298,8 +438,9 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
     def compute_req():
         def body(k, _):
-            req_s[k] = (c_ref[k] + _matvec(A_ref[k], dx_s[k])
-                        + _matvec(B_ref[k], du_s[k]) - dx_s[k + 1])
+            A_k, B_k = getAB(k)
+            req_s[k] = (c_ref[k] + _matvec(A_k, dx_s[k])
+                        + _matvec(B_k, du_s[k]) - dx_s[k + 1])
             return 0
         jax.lax.fori_loop(0, N, body, 0)
 
@@ -317,10 +458,24 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
             Tlx, Tux, Tlu, Tuu = targets(k)
             rlx, rux = rs_x(k)
             rlu, ruu = rs_u(k)
-            bx = (-Tlx / slx_s[k] - (lam_lx_s[k] / slx_s[k]) * rlx
-                  + Tux / sux_s[k] + (lam_ux_s[k] / sux_s[k]) * rux)
-            bu = (-Tlu / slu_s[k] - (lam_lu_s[k] / slu_s[k]) * rlu
-                  + Tuu / suu_s[k] + (lam_uu_s[k] / suu_s[k]) * ruu)
+
+            def cdiv(T, s):  # centering force, capped like the sigmas
+                return jnp.clip(T / s, -sigma_max, sigma_max)
+            # lam/s capped at sigma_max, mirroring qp/ipm.py: uncapped
+            # 1e12+ factors near degenerate bounds overflow the f32
+            # Riccati products to inf and NaN the iterate systematically
+            bx = m_lo(lbx_ref[k]) * (-cdiv(Tlx, slx_s[k])
+                                     - jnp.minimum(lam_lx_s[k] / slx_s[k],
+                                                   sigma_max) * rlx) \
+                + m_hi(ubx_ref[k]) * (cdiv(Tux, sux_s[k])
+                                      + jnp.minimum(lam_ux_s[k] / sux_s[k],
+                                                    sigma_max) * rux)
+            bu = m_lo(lbu_ref[k]) * (-cdiv(Tlu, slu_s[k])
+                                     - jnp.minimum(lam_lu_s[k] / slu_s[k],
+                                                   sigma_max) * rlu) \
+                + m_hi(ubu_ref[k]) * (cdiv(Tuu, suu_s[k])
+                                      + jnp.minimum(lam_uu_s[k] / suu_s[k],
+                                                    sigma_max) * ruu)
             is_term = (k + 1 == N)
             g_stage = _contractT_vec(Qs_ref[...], dx_s[k + 1]) + q_ref[k + 1]
             g_term = _contractT_vec(Qt_ref[...], dx_s[k + 1]) + q_ref[k + 1]
@@ -330,7 +485,9 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
         jax.lax.fori_loop(0, N, body, 0)
 
-    def solve_rhs():
+    def solve_rhs(ddx_ref, ddu_ref):
+        """Backward + forward sweeps with the current factor; directions
+        land in (ddx_ref, ddu_ref)."""
         if stream_p:
             def bwd(i, p):
                 k = N - 1 - i
@@ -338,66 +495,79 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 cp.start()
                 cp.wait()
                 Pn = P_s[1]
+                A_k, B_k = getAB(k)
                 Pcp = _contractT_vec(Pn, req_s[k]) + p
-                Gu = rr_s[k] + _contractT_vec(B_ref[k], Pcp)
+                Gu = rr_s[k] + _contractT_vec(B_k, Pcp)
                 kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)
-                return (qr_s[k] + _contractT_vec(A_ref[k], Pcp)
-                        - _contractT_vec(Z_s[k], Gu))
+                return (qr_s[k] + _contractT_vec(A_k, Pcp)
+                        - _contractT_vec(z_get(k), Gu))
         else:
             def bwd(i, p):
                 k = N - 1 - i
+                A_k, B_k = getAB(k)
                 Pcp = _contractT_vec(P_s[k + 1], req_s[k]) + p
-                Gu = rr_s[k] + _contractT_vec(B_ref[k], Pcp)
+                Gu = rr_s[k] + _contractT_vec(B_k, Pcp)
                 kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)
-                return (qr_s[k] + _contractT_vec(A_ref[k], Pcp)
-                        - _contractT_vec(Z_s[k], Gu))
+                return (qr_s[k] + _contractT_vec(A_k, Pcp)
+                        - _contractT_vec(z_get(k), Gu))
 
         jax.lax.fori_loop(0, N, bwd, qr_s[N])
 
-        ddx_s[0] = jnp.zeros((nx, Bt), f32)
+        ddx_ref[0] = jnp.zeros((nx, Bt), f32)
 
         def fwd(k, _):
-            d = ddx_s[k]
-            du_k = -_matvec(Z_s[k], d) + kff_s[k]
-            ddu_s[k] = du_k
-            ddx_s[k + 1] = (_matvec(A_ref[k], d) + _matvec(B_ref[k], du_k)
-                            + req_s[k])
+            d = ddx_ref[k]
+            A_k, B_k = getAB(k)
+            du_k = -_matvec(z_get(k), d) + kff_s[k]
+            ddu_ref[k] = du_k
+            ddx_ref[k + 1] = (_matvec(A_k, d) + _matvec(B_k, du_k)
+                              + req_s[k])
             return 0
 
         jax.lax.fori_loop(0, N, fwd, 0)
 
-    # The stage-k x bounds apply to dx_s[k+1] (stages 1..N); slack index k.
-    def slack_dirs(k):
-        """(dslx, dsux, dslu, dsuu) of the CURRENT ddx/ddu at stage k."""
+    # The stage-k x bounds apply to dx[k+1] (stages 1..N); slack index k.
+    def slack_dirs(k, ddx_ref, ddu_ref):
+        """(dslx, dsux, dslu, dsuu) for the directions in ddx/ddu_ref.
+
+        Masked out (infinite) bounds get an exactly-zero direction, so the
+        BIG slacks / zero duals stay fixed points of the update."""
         rlx, rux = rs_x(k)
         rlu, ruu = rs_u(k)
-        dz_x = ddx_s[k + 1]
-        dz_u = ddu_s[k]
-        return (dz_x - rlx, -dz_x - rux, dz_u - rlu, -dz_u - ruu)
+        dz_x = ddx_ref[k + 1]
+        dz_u = ddu_ref[k]
+        return (m_lo(lbx_ref[k]) * (dz_x - rlx),
+                m_hi(ubx_ref[k]) * (-dz_x - rux),
+                m_lo(lbu_ref[k]) * (dz_u - rlu),
+                m_hi(ubu_ref[k]) * (-dz_u - ruu))
 
-    def dual_dirs(k, T):
+    def dual_dirs(k, T, ddx_ref, ddu_ref):
+        # dual divides clamped to +-1e12: with s at the eps floor the raw
+        # divide reaches inf, and a_d*inf with a collapsed dual step
+        # (a_d = 0) is NaN (same guard as qp/ipm.py)
         Tlx, Tux, Tlu, Tuu = T
-        dslx, dsux, dslu, dsuu = slack_dirs(k)
-        dllx = (Tlx - slx_s[k] * lam_lx_s[k]
-                - lam_lx_s[k] * dslx) / slx_s[k]
-        dlux = (Tux - sux_s[k] * lam_ux_s[k]
-                - lam_ux_s[k] * dsux) / sux_s[k]
-        dllu = (Tlu - slu_s[k] * lam_lu_s[k]
-                - lam_lu_s[k] * dslu) / slu_s[k]
-        dluu = (Tuu - suu_s[k] * lam_uu_s[k]
-                - lam_uu_s[k] * dsuu) / suu_s[k]
+        dslx, dsux, dslu, dsuu = slack_dirs(k, ddx_ref, ddu_ref)
+
+        def dl(m, T_, s, lam, ds):
+            return m * jnp.clip((T_ - s * lam - lam * ds) / s, -1e12, 1e12)
+
+        dllx = dl(m_lo(lbx_ref[k]), Tlx, slx_s[k], lam_lx_s[k], dslx)
+        dlux = dl(m_hi(ubx_ref[k]), Tux, sux_s[k], lam_ux_s[k], dsux)
+        dllu = dl(m_lo(lbu_ref[k]), Tlu, slu_s[k], lam_lu_s[k], dslu)
+        dluu = dl(m_hi(ubu_ref[k]), Tuu, suu_s[k], lam_uu_s[k], dsuu)
         return (dslx, dsux, dslu, dsuu, dllx, dlux, dllu, dluu)
 
     def min_ratio(v, dv, tau, acc):
         r = jnp.where(dv < 0, -tau * v / jnp.where(dv < 0, dv, -1.0), _BIG)
         return jnp.minimum(acc, jnp.min(r, axis=0))
 
-    def alphas_from(targets, tau):
+    def alphas_from(targets, tau, ddx_ref, ddu_ref):
         """Fraction-to-boundary over all stages with on-the-fly dirs."""
         def body(k, carry):
             a_p, a_d = carry
             (dslx, dsux, dslu, dsuu,
-             dllx, dlux, dllu, dluu) = dual_dirs(k, targets(k))
+             dllx, dlux, dllu, dluu) = dual_dirs(k, targets(k),
+                                                 ddx_ref, ddu_ref)
             a_p = min_ratio(slx_s[k], dslx, tau, a_p)
             a_p = min_ratio(sux_s[k], dsux, tau, a_p)
             a_p = min_ratio(slu_s[k], dslu, tau, a_p)
@@ -418,7 +588,9 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         compute_req()
         factorize()
 
-        # ---- predictor (affine scaling, target 0) ----
+        # ---- predictor (affine scaling, target 0): directions land in
+        # the dedicated ddxa/ddua buffers and are recomputed per bound
+        # family on the fly wherever the Mehrotra targets need them ----
         zx = jnp.zeros((nx, Bt), f32)
         zu = jnp.zeros((nu, Bt), f32)
 
@@ -426,34 +598,27 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
             return (zx, zx, zu, zu)
 
         rhs_grads(zero_targets)
-        solve_rhs()
+        solve_rhs(ddxa_s, ddua_s)
 
-        # store predictor dirs (needed for Mehrotra targets)
-        def store_aff(k, _):
-            (dslx, dsux, dslu, dsuu,
-             dllx, dlux, dllu, dluu) = dual_dirs(k, zero_targets(k))
-            aslx_s[k] = dslx; asux_s[k] = dsux
-            aslu_s[k] = dslu; asuu_s[k] = dsuu
-            allx_s[k] = dllx; alux_s[k] = dlux
-            allu_s[k] = dllu; aluu_s[k] = dluu
-            return 0
+        def aff_dirs(k):
+            return dual_dirs(k, zero_targets(k), ddxa_s, ddua_s)
 
-        jax.lax.fori_loop(0, N, store_aff, 0)
-
-        a_p_aff, a_d_aff = alphas_from(zero_targets, 1.0)
+        a_p_aff, a_d_aff = alphas_from(zero_targets, 1.0, ddxa_s, ddua_s)
 
         def mu_aff_sum(k, acc):
             ap = a_p_aff[None, :]
             ad = a_d_aff[None, :]
+            (aslx, asux, aslu, asuu,
+             allx, alux, allu, aluu) = aff_dirs(k)
             return (acc
-                    + jnp.sum((slx_s[k] + ap * aslx_s[k])
-                              * (lam_lx_s[k] + ad * allx_s[k]), axis=0)
-                    + jnp.sum((sux_s[k] + ap * asux_s[k])
-                              * (lam_ux_s[k] + ad * alux_s[k]), axis=0)
-                    + jnp.sum((slu_s[k] + ap * aslu_s[k])
-                              * (lam_lu_s[k] + ad * allu_s[k]), axis=0)
-                    + jnp.sum((suu_s[k] + ap * asuu_s[k])
-                              * (lam_uu_s[k] + ad * aluu_s[k]), axis=0))
+                    + jnp.sum(m_lo(lbx_ref[k]) * (slx_s[k] + ap * aslx)
+                              * (lam_lx_s[k] + ad * allx), axis=0)
+                    + jnp.sum(m_hi(ubx_ref[k]) * (sux_s[k] + ap * asux)
+                              * (lam_ux_s[k] + ad * alux), axis=0)
+                    + jnp.sum(m_lo(lbu_ref[k]) * (slu_s[k] + ap * aslu)
+                              * (lam_lu_s[k] + ad * allu), axis=0)
+                    + jnp.sum(m_hi(ubu_ref[k]) * (suu_s[k] + ap * asuu)
+                              * (lam_uu_s[k] + ad * aluu), axis=0))
 
         mu_aff = jax.lax.fori_loop(0, N, mu_aff_sum,
                                    jnp.zeros((Bt,), f32)) / n_ineq
@@ -465,15 +630,15 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
             return jnp.clip(mu_t - ds * dl, 0.05 * mu_t, 20.0 * mu_t)
 
         def cor_targets(k):
-            return (clip_t(aslx_s[k], allx_s[k]),
-                    clip_t(asux_s[k], alux_s[k]),
-                    clip_t(aslu_s[k], allu_s[k]),
-                    clip_t(asuu_s[k], aluu_s[k]))
+            (aslx, asux, aslu, asuu,
+             allx, alux, allu, aluu) = aff_dirs(k)
+            return (clip_t(aslx, allx), clip_t(asux, alux),
+                    clip_t(aslu, allu), clip_t(asuu, aluu))
 
         # ---- corrector ----
         rhs_grads(cor_targets)
-        solve_rhs()
-        a_p, a_d = alphas_from(cor_targets, alpha_frac)
+        solve_rhs(ddx_s, ddu_s)
+        a_p, a_d = alphas_from(cor_targets, alpha_frac, ddx_s, ddu_s)
         ap = a_p[None, :]
         ad = a_d[None, :]
 
@@ -481,7 +646,7 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         def update(k, _):
             T = cor_targets(k)
             (dslx, dsux, dslu, dsuu,
-             dllx, dlux, dllu, dluu) = dual_dirs(k, T)
+             dllx, dlux, dllu, dluu) = dual_dirs(k, T, ddx_s, ddu_s)
             dx_s[k + 1] = dx_s[k + 1] + ap * ddx_s[k + 1]
             du_s[k] = du_s[k] + ap * ddu_s[k]
             slx_s[k] = jnp.maximum(slx_s[k] + ap * dslx, eps_s)
@@ -510,7 +675,8 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     du_out[...] = bdu_s[...]
     # Final diagnostics on the RETURNED iterate: copy best into the state
     # refs and rerun the KKT sweep (duals are last-iterate — stat is an
-    # estimate, eq is exact).
+    # estimate, eq is exact). The slack/dual OUTPUT refs keep the last
+    # iterate (best interior point for warm-starting the next tick).
     dx_s[...] = bdx_s[...]
     du_s[...] = bdu_s[...]
     stf, eqf = kkt()
@@ -522,20 +688,56 @@ def _ipm_kernel(A_ref, B_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
 # ------------------------------ host wrapper ------------------------------
 
-@functools.partial(jax.jit, static_argnames=("iters", "mu0", "alpha_frac",
-                                             "reg", "interpret", "stream_p"))
 def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                         alpha_frac: float = 0.995, reg: float = 1e-6,
                         interpret: bool = False,
-                        stream_p: bool | None = None) -> QPSolution:
+                        stream_p: bool | None = None,
+                        stream_big: bool | None = None,
+                        warm=None) -> QPSolution:
     """Batched QP solve. `data` fields carry a LEADING batch axis (B, ...).
 
     Requirements (the RTI/LINEAR_LS structure): stage cost Hessians
     identical across stages 0..N-1 (Q[:, 0] used) with a distinct terminal
-    Q[:, N]; R identical across stages; ALL bounds finite. f32.
+    Q[:, N]; R identical across stages; f32. Bounds may be +-inf (handled
+    via in-kernel masks, same semantics as `qp/ipm.py`).
+
+    stream_p / stream_big: None picks by horizon — beyond ~N=20 the
+    VMEM-resident P (stream_p) and then the A/B record plus Z gains
+    (stream_big) no longer fit the 16 MB budget and are streamed through
+    HBM with per-stage DMA; this is the configuration that runs the
+    flagship N=60 problem on hardware.
+
+    warm: optional `qp.ipm.IpmWarmStart` with leading batch axes (fields
+    (B, N, nx|nu), valid (B,)). The result carries last-iterate
+    slacks/duals, so `qp.ipm.warm_start_from(sol)` builds the next tick's
+    warm start (see module docstring for the best-vs-last nuance).
+    NOTE: per-tick cold starts are the deployed default (see
+    `sqp/rti.py::rti_step_warm` caveat).
+
     `mu` in the result carries the best KKT merit (stat+eq+comp) per
     problem; kkt_stat/kkt_eq are folded into it.
     """
+    if warm is None:
+        from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+        B = data.A.shape[0]
+        N, nx, nu = data.A.shape[1], data.A.shape[-1], data.B.shape[-1]
+        zx = jnp.zeros((B, N, nx), jnp.float32)
+        zu = jnp.zeros((B, N, nu), jnp.float32)
+        warm = IpmWarmStart(zx, zx, zx, zx, zu, zu, zu, zu,
+                            jnp.zeros((B,), jnp.float32))
+    return _pallas_box_qp_solve(data, warm, iters=iters, mu0=mu0,
+                                alpha_frac=alpha_frac, reg=reg,
+                                interpret=interpret, stream_p=stream_p,
+                                stream_big=stream_big)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "mu0", "alpha_frac",
+                                             "reg", "interpret", "stream_p",
+                                             "stream_big"))
+def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
+                         alpha_frac: float, reg: float,
+                         interpret: bool, stream_p: bool | None,
+                         stream_big: bool | None) -> QPSolution:
     B = data.A.shape[0]
     N, nx, nu = data.A.shape[1], data.A.shape[-1], data.B.shape[-1]
     f32 = jnp.float32
@@ -551,19 +753,32 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
         x = x.reshape(x.shape[:-1] + (-1, LANES))
         return jnp.moveaxis(x, -2, 0)
 
-    A = prep(data.A)                       # (T, N, nx, nx, LANES)
-    Bm = prep(data.B)
+    # sanitize +-inf bounds to large finite values; the kernel derives the
+    # masks from the sentinel magnitude (no inf/nan arithmetic in-kernel)
+    def san(b, lo):
+        return jnp.where(jnp.isfinite(b), b, (-_BIGB if lo else _BIGB))
+
+    AB = prep(jnp.concatenate([data.A, data.B], axis=-1))
     c = prep(data.c)
     Qs = prep(data.Q[:, 0])
     Qt = prep(data.Q[:, -1])
     q = prep(data.q)
     R1 = prep(data.R[:, 0])
     r = prep(data.r)
-    lbx = prep(data.lbx[:, 1:])
-    ubx = prep(data.ubx[:, 1:])
-    lbu = prep(data.lbu)
-    ubu = prep(data.ubu)
+    lbx = prep(san(data.lbx[:, 1:], True))
+    ubx = prep(san(data.ubx[:, 1:], False))
+    lbu = prep(san(data.lbu, True))
+    ubu = prep(san(data.ubu, False))
     dx0 = prep(data.dx0)
+    wvalid = prep(jnp.reshape(warm.valid, (B, 1)))
+    wslx = prep(warm.s_lx)
+    wsux = prep(warm.s_ux)
+    wllx = prep(warm.lam_lx)
+    wlux = prep(warm.lam_ux)
+    wslu = prep(warm.s_lu)
+    wsuu = prep(warm.s_uu)
+    wllu = prep(warm.lam_lu)
+    wluu = prep(warm.lam_uu)
 
     mu_min, s_min = 1e-7, 1e-3
     sigma_max, lam_max, eps_s = 1e7, 1e7, 1e-9
@@ -571,78 +786,101 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
         # beyond ~N=20 the VMEM-resident P (and stack) no longer fits the
         # 16MB budget; stream P through HBM instead
         stream_p = N > 20
+    if stream_big is None:
+        # beyond ~N=20 the A/B record + Z gains must stream as well
+        stream_big = N > 20
+    if stream_big:
+        stream_p = True  # the long-horizon config streams everything big
 
     kernel = functools.partial(
         _ipm_kernel, N=N, nx=nx, nu=nu, iters=iters, mu0=mu0,
         alpha_frac=alpha_frac, reg=reg, s_min=s_min, mu_min=mu_min,
         sigma_max=sigma_max, lam_max=lam_max, eps_s=eps_s,
-        stream_p=stream_p)
+        stream_p=stream_p, stream_big=stream_big)
 
     def vspec():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    def anyspec():
+        return pl.BlockSpec(memory_space=pl.ANY)
+
+    xs = jax.ShapeDtypeStruct((N, nx, LANES), f32)
+    us = jax.ShapeDtypeStruct((N, nu, LANES), f32)
+    in_specs = ([anyspec() if stream_big else vspec()]
+                + [vspec()] * 20)
     out_specs = (vspec(), vspec(), vspec(),
-                 pl.BlockSpec(memory_space=pltpu.ANY))
+                 anyspec(), anyspec(),
+                 vspec(), vspec(), vspec(), vspec(),
+                 vspec(), vspec(), vspec(), vspec())
 
     # P storage: HBM-streamed (scratch slab + ANY-space dump output) or
-    # fully VMEM-resident.
+    # fully VMEM-resident. Z gains likewise in the stream_big config.
     p_dump_shape = (N + 1, nx, nx, LANES) if stream_p else (1, 1, LANES)
+    z_dump_shape = (N, nu, nx, LANES) if stream_big else (1, 1, LANES)
     p_slab = (pltpu.VMEM((2, nx, nx, LANES), f32) if stream_p
               else pltpu.VMEM((N + 1, nx, nx, LANES), f32))
+    ab_slab = (pltpu.VMEM((2, nx, nx + nu, LANES), f32) if stream_big
+               else pltpu.VMEM((1, 1, LANES), f32))
+    z_slab = (pltpu.VMEM((2, nu, nx, LANES), f32) if stream_big
+              else pltpu.VMEM((1, 1, LANES), f32))
+    z_full = (pltpu.VMEM((1, 1, LANES), f32) if stream_big
+              else pltpu.VMEM((N, nu, nx, LANES), f32))
     out_shape = (
-        jax.ShapeDtypeStruct((N + 1, nx, LANES), f32),
-        jax.ShapeDtypeStruct((N, nu, LANES), f32),
-        jax.ShapeDtypeStruct((3, LANES), f32),
-        jax.ShapeDtypeStruct(p_dump_shape, f32),
+        jax.ShapeDtypeStruct((N + 1, nx, LANES), f32),   # dx
+        jax.ShapeDtypeStruct((N, nu, LANES), f32),       # du
+        jax.ShapeDtypeStruct((3, LANES), f32),           # diag
+        jax.ShapeDtypeStruct(p_dump_shape, f32),         # P dump
+        jax.ShapeDtypeStruct(z_dump_shape, f32),         # Z dump
+        xs, xs, xs, xs,                                  # slx sux llx lux
+        us, us, us, us,                                  # slu suu llu luu
     )
     scratch = [
         p_slab,                                   # P_s
         pltpu.SemaphoreType.DMA((2,)),            # psem
-        pltpu.VMEM((N, nu, nx, LANES), f32),      # Z_s
+        ab_slab,                                  # AB_s
+        pltpu.SemaphoreType.DMA((2,)),            # absem
+        z_slab,                                   # Zsl_s
+        pltpu.SemaphoreType.DMA((2,)),            # zsem
+        z_full,                                   # Z_s
         pltpu.VMEM((N, nu, nu, LANES), f32),      # Hinv_s
         pltpu.VMEM((N, nu, LANES), f32),          # kff_s
         pltpu.VMEM((N + 1, nx, LANES), f32),      # dx_s
         pltpu.VMEM((N, nu, LANES), f32),          # du_s
-        pltpu.VMEM((N, nx, LANES), f32),          # slx
-        pltpu.VMEM((N, nx, LANES), f32),          # sux
-        pltpu.VMEM((N, nx, LANES), f32),          # lam_lx
-        pltpu.VMEM((N, nx, LANES), f32),          # lam_ux
-        pltpu.VMEM((N, nu, LANES), f32),          # slu
-        pltpu.VMEM((N, nu, LANES), f32),          # suu
-        pltpu.VMEM((N, nu, LANES), f32),          # lam_lu
-        pltpu.VMEM((N, nu, LANES), f32),          # lam_uu
         pltpu.VMEM((N + 1, nx, LANES), f32),      # bdx
         pltpu.VMEM((N, nu, LANES), f32),          # bdu
         pltpu.VMEM((1, LANES), f32),              # bm
         pltpu.VMEM((N + 1, nx, LANES), f32),      # ddx
         pltpu.VMEM((N, nu, LANES), f32),          # ddu
+        pltpu.VMEM((N + 1, nx, LANES), f32),      # ddxa
+        pltpu.VMEM((N, nu, LANES), f32),          # ddua
         pltpu.VMEM((N + 1, nx, LANES), f32),      # qr
         pltpu.VMEM((N, nu, LANES), f32),          # rr
         pltpu.VMEM((N, nx, LANES), f32),          # req
-        pltpu.VMEM((N, nx, LANES), f32),          # aslx
-        pltpu.VMEM((N, nx, LANES), f32),          # asux
-        pltpu.VMEM((N, nu, LANES), f32),          # aslu
-        pltpu.VMEM((N, nu, LANES), f32),          # asuu
-        pltpu.VMEM((N, nx, LANES), f32),          # allx
-        pltpu.VMEM((N, nx, LANES), f32),          # alux
-        pltpu.VMEM((N, nu, LANES), f32),          # allu
-        pltpu.VMEM((N, nu, LANES), f32),          # aluu
     ]
 
+    # warm-start inputs (positions 13..20) alias the slack/dual outputs
+    # (positions 5..12): the kernel reads the warm value during init, then
+    # the same buffer carries the iterate and is returned for the next tick.
+    aliases = ({13: 5, 14: 6, 15: 7, 16: 8, 17: 9, 18: 10, 19: 11, 20: 12}
+               if _USE_ALIASES else {})
     call = pl.pallas_call(
         kernel,
-        in_specs=[vspec()] * 13,
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
         interpret=interpret,
     )
 
     def one_tile(args):
         return call(*args)
 
-    dx_bl, du_bl, diag, _p_dump = jax.lax.map(
-        one_tile, (A, Bm, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0))
+    outs = jax.lax.map(
+        one_tile, (AB, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0,
+                   wvalid, wslx, wsux, wllx, wlux, wslu, wsuu, wllu, wluu))
+    (dx_bl, du_bl, diag, _p_dump, _z_dump,
+     oslx, osux, ollx, olux, oslu, osuu, ollu, oluu) = outs
 
     def unprep(x):  # (T, ..., LANES) -> (B, ...)
         x = jnp.moveaxis(x, 0, -2)
@@ -653,4 +891,8 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     du = unprep(du_bl)
     diag = unprep(diag)
     return QPSolution(dx=dx, du=du, kkt_stat=diag[:, 0], kkt_eq=diag[:, 1],
-                      mu=diag[:, 2])
+                      mu=diag[:, 2],
+                      lam_lx=unprep(ollx), lam_ux=unprep(olux),
+                      lam_lu=unprep(ollu), lam_uu=unprep(oluu),
+                      s_lx=unprep(oslx), s_ux=unprep(osux),
+                      s_lu=unprep(oslu), s_uu=unprep(osuu))

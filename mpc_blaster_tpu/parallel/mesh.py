@@ -77,10 +77,13 @@ def _batched_rti_step_pallas(ocp: cfg.OCPConfig, dtype=jnp.float32,
                                   reg=max(solver.ipm_reg, 1e-6))
         new_states = RTIState(xbar=states.xbar + sol.dx,
                               ubar=states.ubar + sol.du)
+        from mpc_blaster_tpu.sqp.rti import _bound_violation
         diag = RTIDiagnostics(
             qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
             step_norm_x=jnp.max(jnp.abs(sol.dx), axis=(1, 2)),
             step_norm_u=jnp.max(jnp.abs(sol.du), axis=(1, 2)),
+            bound_viol=jax.vmap(_bound_violation, in_axes=(None, 0))(
+                spec, new_states),
         )
         return new_states.ubar[:, 0], new_states, diag
 

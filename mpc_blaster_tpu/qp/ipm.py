@@ -194,16 +194,19 @@ def _box_qp_solve_impl(data, iters, mu0, alpha_frac, reg, s_min,
 
     if warm is not None:
         # Blend warm slacks/duals over the cold centered init (per-problem
-        # gate so batched solves can mix cold and warm scenarios).
+        # gate so batched solves can mix cold and warm scenarios). A
+        # per-entry isfinite guard drops NaN/inf warm entries back to the
+        # cold init so a degenerate tick can't poison the warm chain.
         use = (warm.valid > 0.5)
 
         def blend(w, cold, mask):
             w = jnp.clip(jnp.where(mask, w, _BIG), s_min * 1e-2, _BIG)
-            return jnp.where(use & mask, w, cold)
+            return jnp.where(use & mask & jnp.isfinite(w), w, cold)
 
         def blend_l(w, cold, mask):
             w = jnp.clip(w, 0.0, lam_max)
-            return jnp.where(use & mask, jnp.maximum(w, 1e-8), cold)
+            return jnp.where(use & mask & jnp.isfinite(w),
+                             jnp.maximum(w, 1e-8), cold)
 
         s_lx = blend(warm.s_lx, s_lx, mask_lx)
         s_ux = blend(warm.s_ux, s_ux, mask_ux)
@@ -273,15 +276,29 @@ def _box_qp_solve_impl(data, iters, mu0, alpha_frac, reg, s_min,
                 - state.dx[1:])
 
         def rhs_grads(T_lx, T_ux, T_lu, T_uu):
-            """gbar given per-constraint complementarity targets T."""
-            bx = (- jnp.where(mask_lx, T_lx / state.s_lx, 0.0)
-                  - jnp.where(mask_lx, state.lam_lx / state.s_lx, 0.0) * r_slx
-                  + jnp.where(mask_ux, T_ux / state.s_ux, 0.0)
-                  + jnp.where(mask_ux, state.lam_ux / state.s_ux, 0.0) * r_sux)
-            bu = (- jnp.where(mask_lu, T_lu / state.s_lu, 0.0)
-                  - jnp.where(mask_lu, state.lam_lu / state.s_lu, 0.0) * r_slu
-                  + jnp.where(mask_uu, T_uu / state.s_uu, 0.0)
-                  + jnp.where(mask_uu, state.lam_uu / state.s_uu, 0.0) * r_suu)
+            """gbar given per-constraint complementarity targets T.
+
+            The lam/s factors are capped at sigma_max like the Hessian
+            barrier diagonal: near-degenerate bounds (s at the eps floor
+            with lam large) otherwise push 1e12+-scale entries into the
+            Riccati RHS, whose f32 products overflow to inf and poison the
+            iterate with NaN (observed systematically at >6 iterations).
+            Capping = an inexact Newton step on the degenerate rows; the
+            fraction-to-boundary and best-iterate machinery absorb it."""
+            slam_lx = jnp.minimum(state.lam_lx / state.s_lx, sigma_max)
+            slam_ux = jnp.minimum(state.lam_ux / state.s_ux, sigma_max)
+            slam_lu = jnp.minimum(state.lam_lu / state.s_lu, sigma_max)
+            slam_uu = jnp.minimum(state.lam_uu / state.s_uu, sigma_max)
+            def cdiv(T, s):  # centering force, same cap
+                return jnp.clip(T / s, -sigma_max, sigma_max)
+            bx = (- jnp.where(mask_lx, cdiv(T_lx, state.s_lx), 0.0)
+                  - jnp.where(mask_lx, slam_lx, 0.0) * r_slx
+                  + jnp.where(mask_ux, cdiv(T_ux, state.s_ux), 0.0)
+                  + jnp.where(mask_ux, slam_ux, 0.0) * r_sux)
+            bu = (- jnp.where(mask_lu, cdiv(T_lu, state.s_lu), 0.0)
+                  - jnp.where(mask_lu, slam_lu, 0.0) * r_slu
+                  + jnp.where(mask_uu, cdiv(T_uu, state.s_uu), 0.0)
+                  + jnp.where(mask_uu, slam_uu, 0.0) * r_suu)
             q_rhs = gx_full.at[1:].add(bx)
             r_rhs = gu_full + bu
             return q_rhs, r_rhs
@@ -295,8 +312,11 @@ def _box_qp_solve_impl(data, iters, mu0, alpha_frac, reg, s_min,
             d_suu = jnp.where(mask_uu, -d_du - r_suu, 0.0)
 
             def dl(lam, s, ds, T, mask):
+                # clamp: with s at the eps floor the divide can reach inf,
+                # and a_d*inf with a collapsed dual step (a_d=0) is NaN
                 return jnp.where(
-                    mask, (T - s * lam - lam * ds) / s, 0.0)
+                    mask, jnp.clip((T - s * lam - lam * ds) / s,
+                                   -1e12, 1e12), 0.0)
             d_llx = dl(state.lam_lx, state.s_lx, d_slx, T_lx, mask_lx)
             d_lux = dl(state.lam_ux, state.s_ux, d_sux, T_ux, mask_ux)
             d_llu = dl(state.lam_lu, state.s_lu, d_slu, T_lu, mask_lu)

@@ -16,14 +16,22 @@ import jax.numpy as jnp
 
 def chol_unrolled(M: jnp.ndarray):
     """Lower-Cholesky of SPD (..., n, n), entries as a python list-of-lists
-    of (...,) arrays. n must be small (trace-time unrolled)."""
+    of (...,) arrays, plus the minimum raw pivot (the definiteness
+    certificate). n must be small (trace-time unrolled).
+
+    Pivots are floored at 1e-12 so an epsilon-negative pivot (f32
+    cancellation) cannot emit NaN; callers should inspect min_pivot to
+    detect an indefinite input (negative pivots mean the "factor" is
+    garbage even though it is finite)."""
     n = M.shape[-1]
     L = [[None] * n for _ in range(n)]
+    min_piv = None
     for j in range(n):
         s = M[..., j, j]
         for p in range(j):
             s = s - L[j][p] * L[j][p]
-        d = jnp.sqrt(s)
+        min_piv = s if min_piv is None else jnp.minimum(min_piv, s)
+        d = jnp.sqrt(jnp.maximum(s, 1e-12))
         L[j][j] = d
         inv_d = 1.0 / d
         for i in range(j + 1, n):
@@ -31,13 +39,32 @@ def chol_unrolled(M: jnp.ndarray):
             for p in range(j):
                 s = s - L[i][p] * L[j][p]
             L[i][j] = s * inv_d
-    return L
+    return L, min_piv
 
 
 def chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of an SPD (..., n, n) via unrolled Cholesky: M^-1 = L^-T L^-1."""
+    """Inverse of an SPD (..., n, n) via unrolled Cholesky: M^-1 = L^-T L^-1.
+
+    Jacobi-equilibrated and FAIL-SAFE: the matrix is scaled to unit
+    diagonal before factorization (the IPM's barrier-modified Hessians mix
+    diagonal scales across ~14 orders of magnitude — R_swivel*dt ~ 3e-7
+    against barrier sigmas capped at 1e7 — and an unequilibrated f32
+    Cholesky loses every digit of the small block), and if the input is
+    detected indefinite (negative pivot, or a non-positive diagonal: f32
+    cancellation degrades the Riccati P's small eigendirections at
+    |P| ~ 1e7 scale), the ZERO matrix is returned instead of a garbage
+    inverse. Zero is the IPM-safe sentinel: the Riccati gain for that
+    stage collapses to K = 0 (feedback frozen, P recursion stays finite)
+    instead of exploding the whole factorization to inf/NaN — the same
+    role as HPIPM's on-failure regularization, chosen to be vectorizable
+    per batch lane."""
+    diag = jnp.diagonal(M, axis1=-2, axis2=-1)
+    diag_ok = jnp.all(diag > 0.0, axis=-1)
+    d = jnp.sqrt(jnp.maximum(diag, 1e-30))
+    M = M / (d[..., :, None] * d[..., None, :])
     n = M.shape[-1]
-    L = chol_unrolled(M)
+    L, min_piv = chol_unrolled(M)
+    ok = diag_ok & (min_piv > 1e-10)
     # invert the lower-triangular factor
     Li = [[None] * n for _ in range(n)]
     for j in range(n):
@@ -57,7 +84,9 @@ def chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
                 s = term if s is None else s + term
             cols.append(s)
         rows.append(jnp.stack(cols, axis=-1))
-    return jnp.stack(rows, axis=-2)
+    inv = jnp.stack(rows, axis=-2)
+    inv = inv / (d[..., :, None] * d[..., None, :])
+    return jnp.where(ok[..., None, None], inv, 0.0)
 
 
 def spd_inverse(M: jnp.ndarray, base: int = 8) -> jnp.ndarray:

@@ -48,12 +48,16 @@ def figure8_refs(n_points: int, dt: float, amplitude_x: float = 1.0,
 
 
 def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
-                       plant_substeps: int = 1):
+                       plant_substeps: int = 1, warm_start: bool = False):
     """run(spec, x0, ref_traj) with ref_traj (n_steps + N + 1, nx).
 
     Per tick i the controller tracks stage references ref_traj[i+1 : i+N+1]
     (terminal = last of the window), mirroring how the reference would be
     fed in a receding-horizon deployment.
+
+    warm_start=True carries IPM slack/dual warm starts between ticks; pair
+    with reduced `ocp.solver.ipm_iters` (and `qp_backend="pallas"` on TPU)
+    for the latency-critical deployment loop.
     """
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
@@ -70,19 +74,42 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
         rti0 = init_rti_state(ocp, x0, dtype)
         plant_params = spec.stage_params[0]
 
-        def tick(carry, i):
-            state, x = carry
+        def window_spec(i):
             window = jax.lax.dynamic_slice(
                 ref_traj, (i + 1, 0), (N, cfg.NX))
-            spec_i = spec._replace(yref_x=window, yref_e=window[-1])
-            u0, state_new, diag = rti_step(spec_i, state, x, params, F,
-                                           solver)
-            x_next = F_plant(x, u0, plant_params, params)
-            out = (x_next, u0, window[0], diag.qp_kkt_stat, diag.qp_kkt_eq)
-            return (state_new, x_next), out
+            return spec._replace(yref_x=window, yref_e=window[-1]), window
 
-        (_, _), (xs, us, refs, stat, eq) = jax.lax.scan(
-            tick, (rti0, x0), jnp.arange(n_steps))
+        if warm_start:
+            from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+            from mpc_blaster_tpu.sqp.rti import rti_step_warm
+            warm0 = IpmWarmStart.zeros(N, cfg.NX, cfg.NU, dtype)
+            warm0 = jax.tree.map(lambda a: a + 0.0 * x0[0], warm0)
+
+            def tick(carry, i):
+                state, warm, x = carry
+                spec_i, window = window_spec(i)
+                u0, state_new, warm_new, diag = rti_step_warm(
+                    spec_i, state, warm, x, params, F, solver)
+                x_next = F_plant(x, u0, plant_params, params)
+                out = (x_next, u0, window[0], diag.qp_kkt_stat,
+                       diag.qp_kkt_eq)
+                return (state_new, warm_new, x_next), out
+
+            _, (xs, us, refs, stat, eq) = jax.lax.scan(
+                tick, (rti0, warm0, x0), jnp.arange(n_steps))
+        else:
+            def tick(carry, i):
+                state, x = carry
+                spec_i, window = window_spec(i)
+                u0, state_new, diag = rti_step(spec_i, state, x, params, F,
+                                               solver)
+                x_next = F_plant(x, u0, plant_params, params)
+                out = (x_next, u0, window[0], diag.qp_kkt_stat,
+                       diag.qp_kkt_eq)
+                return (state_new, x_next), out
+
+            _, (xs, us, refs, stat, eq) = jax.lax.scan(
+                tick, (rti0, x0), jnp.arange(n_steps))
         xs = jnp.concatenate([x0[None], xs], axis=0)
         return TrackingResult(xs=xs, us=us, refs=refs, kkt_stat=stat,
                               kkt_eq=eq)
@@ -91,13 +118,15 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
 
 
 def run_figure8(preset: Optional[cfg.Preset] = None, n_steps: int = 240,
-                dtype=jnp.float32, **fig_kwargs) -> TrackingResult:
+                dtype=jnp.float32, warm_start: bool = False,
+                **fig_kwargs) -> TrackingResult:
     """BASELINE config 2: figure-8 waypoint tracking, single trajectory."""
     preset = preset or cfg.simulation_preset()
     ocp = preset.ocp
     refs = figure8_refs(n_steps + ocp.N + 1, ocp.dt, **fig_kwargs)
     spec = build_spec(ocp, dtype=dtype)
-    run = make_tracking_loop(ocp, n_steps, dtype=dtype)
+    run = make_tracking_loop(ocp, n_steps, dtype=dtype,
+                             warm_start=warm_start)
     x0 = np.zeros(cfg.NX)
     x0[0:3] = refs[0, 0:3]
     x0[6:9] = refs[0, 6:9]

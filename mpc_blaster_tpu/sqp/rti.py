@@ -125,23 +125,43 @@ def build_qp(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     )
 
 
-def solve_qp_backend(qp: QPData, solver: cfg.SolverConfig):
+def solve_qp_backend(qp: QPData, solver: cfg.SolverConfig, warm=None):
     """Dispatch to the configured QP backend (trace-time branch).
 
     "riccati" is the full-horizon Riccati IPM (the reference's effective
     cond_N=N HPIPM configuration); "condensed" applies real partial
     condensing with block size `solver.cond_M` before solving
-    (`qp/condense.py`)."""
+    (`qp/condense.py`); "pallas" runs the fused whole-IPM TPU mega-kernel
+    (`ops/pallas_ipm.py`) on a batch of one — the latency path for the
+    >=1 kHz single-trajectory loop (interpret-mode fallback off-TPU, for
+    tests only). `warm` (qp.ipm.IpmWarmStart) is honored by the riccati
+    and pallas backends; condensed solves are cold (the condensed QP's
+    slack geometry doesn't transfer across ticks)."""
     if solver.qp_backend == "condensed":
+        if warm is not None:
+            raise ValueError("qp_backend='condensed' does not support "
+                             "slack/dual warm starts")
         from mpc_blaster_tpu.qp.condense import condensed_qp_solve
         return condensed_qp_solve(qp, M=solver.cond_M,
                                   iters=solver.ipm_iters,
                                   mu0=solver.ipm_mu0,
                                   alpha_frac=solver.ipm_alpha_frac,
                                   reg=solver.ipm_reg)
+    if solver.qp_backend == "pallas":
+        from mpc_blaster_tpu.ops.pallas_ipm import (pallas_available,
+                                                    pallas_box_qp_solve)
+        qb = jax.tree.map(lambda a: a[None], qp)
+        wb = None if warm is None else jax.tree.map(lambda a: a[None], warm)
+        sol = pallas_box_qp_solve(qb, iters=solver.ipm_iters,
+                                  mu0=solver.ipm_mu0,
+                                  alpha_frac=solver.ipm_alpha_frac,
+                                  reg=max(solver.ipm_reg, 1e-6),
+                                  interpret=not pallas_available(),
+                                  warm=wb)
+        return jax.tree.map(lambda a: a[0], sol)
     return box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
                         alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg,
-                        riccati=solver.riccati)
+                        riccati=solver.riccati, warm=warm)
 
 
 def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
@@ -239,15 +259,20 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
 
     Returns (u0, new_state, warm_out, diag). Pass `warm_out` into the next
     tick; seed the first tick with `IpmWarmStart.zeros(...)` (valid=0 ->
-    cold). Warm ticks typically converge in half the iterations, so pair
-    this with a reduced `solver.ipm_iters` for the latency-critical loop.
+    cold).
+
+    CAVEAT (measured on v5e, round 2): on aggressive transients the
+    previous tick's near-active duals mislead low-iteration warm solves —
+    altitude steps overshoot and figure-8 tracking degrades ~10x vs
+    per-tick cold starts. This mirrors why the reference runs HPIPM with
+    `qp_solver_warm_start=0` (acados JSON). The deployed latency loop is
+    therefore COLD `rti_step` with `qp_backend="pallas", ipm_iters=6`;
+    use warm ticks only for slowly-varying regulation problems.
     """
     from mpc_blaster_tpu.qp.ipm import warm_start_from
 
     qp = build_qp(spec, state, x0, F, params)
-    sol = box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
-                       alpha_frac=solver.ipm_alpha_frac, reg=solver.ipm_reg,
-                       warm=warm)
+    sol = solve_qp_backend(qp, solver, warm=warm)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
         qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,

@@ -1,4 +1,18 @@
-"""Multi-host glue on a single process (degraded-mode behavior)."""
+"""Multi-host glue: single-process degraded mode + a REAL 2-process run.
+
+The 2-process test spawns two `jax.distributed`-initialized subprocesses
+(4 virtual CPU devices each -> one 8-device global mesh across process
+boundaries) and runs the sharded RTI step end to end — the minimal
+faithful model of the BASELINE.md multi-host layout, with
+`make_array_from_process_local_data` assembling host shards and
+psum/pmax reductions crossing the process boundary.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
 import numpy as np
 import jax
 import pytest
@@ -36,3 +50,58 @@ def test_make_global_array_roundtrip():
     arr = make_global_array(data, mesh)
     np.testing.assert_allclose(np.asarray(arr), data)
     assert arr.sharding.num_devices == n
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_rti():
+    """Real multi-process jax.distributed execution (VERDICT r1 item 4):
+    2 processes x 4 CPU devices, global mesh over 8, host-sharded scenario
+    batch, one sharded RTI step, reductions agreeing across processes."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+
+    r0, r1 = sorted(results, key=lambda r: r["pid"])
+    assert r0["process_count"] == r1["process_count"] == 2
+    assert r0["device_count"] == r1["device_count"] == 8
+    assert r0["finite"] and r1["finite"]
+    # psum/pmax reductions are GLOBAL: both processes must see identical
+    # values
+    np.testing.assert_allclose(r0["mean_step"], r1["mean_step"], rtol=1e-6)
+    np.testing.assert_allclose(r0["worst_kkt"], r1["worst_kkt"], rtol=1e-6)
+    # different host shards -> different local controls (not a broadcast)
+    assert abs(r0["local_u0_mean"] - r1["local_u0_mean"]) > 1e-6

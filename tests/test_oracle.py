@@ -1,0 +1,213 @@
+"""Independent correctness oracle for the NMPC (VERDICT r1 item 2).
+
+acados/casadi are not installed in this image, so the reference controller
+cannot be executed directly. This module builds the oracle the other way:
+the exact NLP the controller solves (`simulation_blaster.py:56-107`
+semantics — LINEAR_LS cost, RK4 shooting, box bounds on states AND
+controls) is solved by an INDEPENDENT optimizer (scipy SLSQP on the
+single-shooting reduction: control bounds as variable bounds, state boxes
+as nonlinear inequality constraints, exact JAX f64 gradients/Jacobians),
+and the framework's converged SQP iterate must match it.
+
+The state-box constraints are NOT optional: the reference's omega bound is
+a tight +-0.0873 rad/s (`simulation_blaster.py:28-30`) and is active even
+for mild setpoint changes (verified: the unconstrained-state optimum
+swings omega to ~2 rad/s).
+
+Tolerance targets mirror the acados JSON (`nlp_solver_tol_* = 1e-6`) and
+the BASELINE.md north star (controls match <= 1e-3). Note the BLASTER cost
+leaves the gimbal chain nearly unpenalized (R_swivel = 1e-5,
+`simulation_blaster.py:27`), so gimbal-rate components are weakly
+determined (CLAUDE.md); scenario (a) therefore compares thrusts + the
+objective, and scenario (b) re-runs with a well-posed R to pin ALL
+controls to <= 1e-3.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.optimize import minimize
+
+from mpc_blaster_tpu import config as cfg
+from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+from mpc_blaster_tpu.ocp.spec import build_spec, total_cost
+from mpc_blaster_tpu.sqp.rti import init_rti_state, sqp_solve
+
+DTYPE = jnp.float64
+N = 8
+
+
+def _make_problem(r_swivel=None, ubu_thrust=None, yref_z=3.5,
+                  yref_poc_x=0.2):
+    preset = cfg.simulation_preset()
+    ocp = dataclasses.replace(preset.ocp, N=N, Tf=N / 30.0)
+    if r_swivel is not None:
+        r = list(ocp.cost.r_diag)
+        r[4] = r[5] = r_swivel
+        ocp = dataclasses.replace(
+            ocp, cost=dataclasses.replace(ocp.cost, r_diag=tuple(r)))
+    if ubu_thrust is not None:
+        ubu = (ubu_thrust,) * 4 + tuple(ocp.bounds.ubu[4:])
+        ocp = dataclasses.replace(
+            ocp, bounds=dataclasses.replace(ocp.bounds, ubu=ubu))
+    yref = np.zeros(cfg.NY)
+    yref[2] = yref_z
+    yref[14] = yref_poc_x
+    spec = build_spec(ocp, yref=yref, dtype=DTYPE)
+    params = BlasterParams.from_config(ocp.model, DTYPE)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    return ocp, spec, params, F
+
+
+def _rollout(spec, params, F, x0, us):
+    def step(x, u):
+        xn = F(x, u, spec.stage_params[0], params)
+        return xn, xn
+    _, xs = jax.lax.scan(step, x0, us)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def _oracle_solve(spec, params, F, x0, u_init):
+    """scipy SLSQP on the single-shooting NLP: control bounds as variable
+    bounds, state boxes as inequality constraints, exact JAX grad/jac."""
+    nu = cfg.NU
+
+    @jax.jit
+    def val_and_grad(u_flat):
+        return jax.value_and_grad(
+            lambda u: total_cost(spec, _rollout(spec, params, F, x0,
+                                                u.reshape(N, nu)),
+                                 u.reshape(N, nu)))(u_flat)
+
+    def fun(u_flat):
+        v, g = val_and_grad(jnp.asarray(u_flat))
+        return float(v), np.asarray(g)
+
+    def _cons(u_flat):
+        xs = _rollout(spec, params, F, x0, u_flat.reshape(N, nu))[1:]
+        return jnp.concatenate([(xs - spec.lbx).ravel(),
+                                (spec.ubx - xs).ravel()])
+
+    cons_jit = jax.jit(_cons)
+    cons_jac = jax.jit(jax.jacfwd(_cons))
+    constraints = [{
+        "type": "ineq",
+        "fun": lambda u: np.asarray(cons_jit(jnp.asarray(u))),
+        "jac": lambda u: np.asarray(cons_jac(jnp.asarray(u))),
+    }]
+
+    bounds = [(float(spec.lbu[i]), float(spec.ubu[i]))
+              for _ in range(N) for i in range(cfg.NU)]
+    # warm every jit BEFORE minimize: first-compiling XLA inside SLSQP's
+    # C/Fortran callback frames overflows the C stack (observed SIGSEGV in
+    # backend_compile_and_load)
+    u0_flat = np.asarray(u_init).ravel()
+    fun(u0_flat)
+    constraints[0]["fun"](u0_flat)
+    constraints[0]["jac"](u0_flat)
+    res = minimize(fun, u0_flat, jac=True,
+                   method="SLSQP", bounds=bounds, constraints=constraints,
+                   options={"maxiter": 600, "ftol": 1e-12})
+    assert res.success, res.message
+    us = jnp.asarray(res.x.reshape(N, cfg.NU), DTYPE)
+    xs = _rollout(spec, params, F, x0, us)
+    # the oracle itself must satisfy the state boxes it claims to enforce
+    assert float(jnp.min(_cons(jnp.asarray(res.x)))) > -1e-6
+    return xs, us, res.fun
+
+
+def _sqp_fixed_point(ocp, spec, params, F, x0, iters=40):
+    state = init_rti_state(ocp, x0, DTYPE)
+    state, step_norms = sqp_solve(spec, state, x0, params, F, ocp.solver,
+                                  iters=iters)
+    return state, np.asarray(step_norms)
+
+
+def test_oracle_hover_nlp():
+    """(a) Hover OCP, reference cost: thrusts match <= 1e-3, objective to
+    1e-6 relative (gimbal rates are in the R_swivel=1e-5 flat subspace)."""
+    ocp, spec, params, F = _make_problem()
+    x0 = jnp.zeros(cfg.NX, DTYPE).at[0].set(0.1).at[1].set(-0.1) \
+        .at[2].set(3.3)
+    state, step_norms = _sqp_fixed_point(ocp, spec, params, F, x0)
+    assert step_norms[-1] < 1e-7, step_norms[-5:]
+
+    xs_o, us_o, f_o = _oracle_solve(spec, params, F, x0, state.ubar)
+
+    np.testing.assert_allclose(np.asarray(state.ubar)[:, :4],
+                               np.asarray(us_o)[:, :4], atol=1e-3)
+    f_rti = float(total_cost(spec, state.xbar, state.ubar))
+    # multiple-shooting defects vanish at the SQP fixed point, so the
+    # single-shooting objective is directly comparable
+    assert abs(f_rti - f_o) <= 1e-6 * max(1.0, abs(f_o)), (f_rti, f_o)
+
+
+def test_oracle_well_posed_all_controls():
+    """(b) Same NLP with a well-posed R_swivel: EVERY control component of
+    the converged SQP matches the independent optimizer <= 1e-3."""
+    ocp, spec, params, F = _make_problem(r_swivel=1e-1)
+    x0 = jnp.zeros(cfg.NX, DTYPE).at[2].set(3.2).at[6].set(0.2)
+    state, step_norms = _sqp_fixed_point(ocp, spec, params, F, x0)
+    assert step_norms[-1] < 1e-7
+
+    xs_o, us_o, f_o = _oracle_solve(spec, params, F, x0, state.ubar)
+    np.testing.assert_allclose(np.asarray(state.ubar), np.asarray(us_o),
+                               atol=1e-3)
+
+
+def test_oracle_active_control_bounds():
+    """(c) Thrust saturation: ubu barely above hover forces the upper
+    control bound active during the climb; the constrained optimum must
+    still match (this exercises the IPM's active-set identification against
+    SLSQP's)."""
+    hover = 9.0 * 9.81 / 4.0
+    # r_swivel=1e1 (the flight preset's value, `mavros_blaster_sim.py:45`):
+    # with thrust margin this tight the optimizer vectors the hard-coded
+    # blast force via the gimbal, and light gimbal damping lets full-step
+    # SQP limit-cycle between bang-bang patterns (step norm pinned at the
+    # rate-box width). The strongly-damped flight weighting is the
+    # reference configuration where thrust saturation is well-posed.
+    ocp, spec, params, F = _make_problem(r_swivel=1e1,
+                                         ubu_thrust=hover + 1.5,
+                                         yref_poc_x=0.0)
+    x0 = jnp.zeros(cfg.NX, DTYPE).at[2].set(3.3)
+    state, step_norms = _sqp_fixed_point(ocp, spec, params, F, x0)
+    assert step_norms[-1] < 1e-6, step_norms[-5:]
+
+    xs_o, us_o, f_o = _oracle_solve(spec, params, F, x0, state.ubar)
+    # the bound must actually be active somewhere, or the scenario is vacuous
+    assert (np.asarray(us_o)[:, :4] > hover + 1.5 - 1e-6).any()
+    np.testing.assert_allclose(np.asarray(state.ubar), np.asarray(us_o),
+                               atol=1e-3)
+
+
+def test_oracle_closed_loop():
+    """(d) 20-tick closed loop: converged-SQP MPC vs oracle MPC (scipy
+    solved per tick). Same plant, same x0 — trajectories must agree to
+    <= 1e-3 in position/velocity throughout."""
+    ocp, spec, params, F = _make_problem(r_swivel=1e-1)
+    n_ticks = 20
+    x_rti = jnp.zeros(cfg.NX, DTYPE).at[2].set(3.25).at[0].set(0.05)
+    x_orc = x_rti
+    state = init_rti_state(ocp, x_rti, DTYPE)
+    u_prev = state.ubar
+
+    xs_rti, xs_orc = [np.asarray(x_rti)], [np.asarray(x_orc)]
+    for _ in range(n_ticks):
+        state, _ = sqp_solve(spec, state, x_rti, params, F, ocp.solver,
+                             iters=25)
+        u_rti = state.ubar[0]
+        x_rti = F(x_rti, u_rti, spec.stage_params[0], params)
+        xs_rti.append(np.asarray(x_rti))
+
+        _, us_o, _ = _oracle_solve(spec, params, F, x_orc, u_prev)
+        u_prev = us_o
+        x_orc = F(x_orc, us_o[0], spec.stage_params[0], params)
+        xs_orc.append(np.asarray(x_orc))
+
+    xs_rti = np.stack(xs_rti)
+    xs_orc = np.stack(xs_orc)
+    np.testing.assert_allclose(xs_rti[:, 0:9], xs_orc[:, 0:9], atol=1e-3)

@@ -36,7 +36,7 @@ def _blaster_qps(B=4, N=8):
 
 def test_pallas_ipm_matches_xla_interpret():
     from mpc_blaster_tpu.qp.data import qp_objective
-    data = _blaster_qps(B=4, N=8)
+    data = _blaster_qps(B=2, N=8)
     sol_p = pallas_box_qp_solve(data, iters=10, interpret=True)
     sol_x = jax.vmap(lambda d: box_qp_solve(d, iters=10))(data)
     du_p = np.asarray(sol_p.du)
@@ -44,7 +44,7 @@ def test_pallas_ipm_matches_xla_interpret():
     # Both solvers park at similar KKT quality; on transient QPs with
     # saturated bounds the flat subspace leaves du weakly determined, so
     # the meaningful equivalence is objective value + feasibility.
-    for i in range(4):
+    for i in range(2):
         d_i = jax.tree.map(lambda x: x[i], data)
         op = float(qp_objective(d_i, sol_p.dx[i], sol_p.du[i]))
         ox = float(qp_objective(d_i, sol_x.dx[i], sol_x.du[i]))
@@ -62,6 +62,157 @@ def test_pallas_ipm_respects_bounds_interpret():
     ubu = np.asarray(data.ubu)
     assert (du >= lbu - 1e-4).all()
     assert (du <= ubu + 1e-4).all()
+
+
+def test_pallas_ipm_infinite_bounds_interpret():
+    """+-inf bounds are masked out (VERDICT r1: all-finite-only kernel).
+
+    Mirrors qp/ipm.py's test_ipm_inactive_bounds semantics: with every
+    bound infinite the IPM must reproduce the unconstrained LQR solution.
+    """
+    from mpc_blaster_tpu.qp.riccati import lqr_solve
+
+    data = _blaster_qps(B=2, N=8)
+    inf = jnp.inf
+    free = data._replace(
+        lbx=jnp.full_like(data.lbx, -inf),
+        ubx=jnp.full_like(data.ubx, inf),
+        lbu=jnp.full_like(data.lbu, -inf),
+        ubu=jnp.full_like(data.ubu, inf),
+    )
+    sol = pallas_box_qp_solve(free, iters=8, interpret=True)
+    ref = jax.vmap(lqr_solve)(free)
+    # With the gimbal bounds removed, u[4:6] sit in the R_swivel=1e-5
+    # near-null subspace (CLAUDE.md): both solvers are near-optimal but du
+    # is weakly determined there. Thrust columns must match tightly;
+    # overall equivalence is objective + true stationarity.
+    np.testing.assert_allclose(np.asarray(sol.du)[..., :4],
+                               np.asarray(ref.du)[..., :4],
+                               rtol=1e-3, atol=2e-3)
+    from mpc_blaster_tpu.qp.data import qp_objective
+    from mpc_blaster_tpu.qp.riccati import lqr_kkt_residuals
+    for i in range(2):
+        d_i = jax.tree.map(lambda x: x[i], free)
+        op = float(qp_objective(d_i, sol.dx[i], sol.du[i]))
+        ox = float(qp_objective(d_i, ref.dx[i], ref.du[i]))
+        assert abs(op - ox) / max(abs(ox), 1.0) < 1e-3, (i, op, ox)
+        st, eq = lqr_kkt_residuals(d_i, sol.dx[i], sol.du[i])
+        st_r, _ = lqr_kkt_residuals(d_i, ref.dx[i], ref.du[i])
+        # the IPM's Newton steps must reach (at least) LQR-grade
+        # stationarity on the unconstrained problem
+        assert float(st) < max(10 * float(st_r), 1e-2)
+        assert float(eq) < 1e-4
+    # mixed: only the (active) thrust lower bounds kept
+    mixed = data._replace(
+        lbx=jnp.full_like(data.lbx, -inf),
+        ubx=jnp.full_like(data.ubx, inf),
+        ubu=jnp.full_like(data.ubu, inf),
+    )
+    solm = pallas_box_qp_solve(mixed, iters=10, interpret=True)
+    refm = jax.vmap(lambda d: box_qp_solve(d, iters=10))(mixed)
+    du_m = np.asarray(solm.du)
+    assert np.isfinite(du_m).all()
+    assert (du_m >= np.asarray(data.lbu) - 1e-3).all()
+    from mpc_blaster_tpu.qp.data import qp_objective
+    for i in range(2):
+        d_i = jax.tree.map(lambda x: x[i], mixed)
+        op = float(qp_objective(d_i, solm.dx[i], solm.du[i]))
+        ox = float(qp_objective(d_i, refm.dx[i], refm.du[i]))
+        assert abs(op - ox) / max(abs(ox), 1.0) < 1.2e-2, (i, op, ox)
+
+
+def _rti_qp_pair(N=8):
+    """(QP at tick 1's iterate, QP at tick 2's iterate): the deployed
+    cross-tick warm-start pattern. Warm-starting a RE-solve of the SAME QP
+    from a mismatched primal init is the known-pathological case (the
+    slack residual (lam/s)*r_s explodes for near-active bounds) — for the
+    XLA path too; cross-tick QPs are what warm starts are for."""
+    import dataclasses
+    from mpc_blaster_tpu import config as cfg
+    from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+    from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+    from mpc_blaster_tpu.ocp.spec import build_spec
+    from mpc_blaster_tpu.qp.ipm import box_qp_solve
+    from mpc_blaster_tpu.sqp.rti import RTIState, build_qp, init_rti_state
+
+    preset = cfg.simulation_preset()
+    ocp = dataclasses.replace(preset.ocp, N=N, Tf=N / 30.0)
+    spec = build_spec(ocp, yref=np.asarray(preset.loop.yref),
+                      dtype=jnp.float32)
+    params = BlasterParams.from_config(ocp.model, jnp.float32)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    # near-hover state: the deployed warm loop's steady regime. (Warm
+    # starting an aggressive cold transient is known-adverse: the previous
+    # tick's extreme near-active duals mismatch the fresh rollout primal;
+    # quality across the transient is asserted on hardware by bench.py's
+    # figure-8 row instead.)
+    x0 = jnp.zeros(cfg.NX, jnp.float32).at[2].set(3.4).at[0].set(0.05)
+    st = init_rti_state(ocp, x0, jnp.float32)
+    qp1 = build_qp(spec, st, x0, F, params)
+    sol1 = box_qp_solve(qp1, iters=8)
+    st2 = RTIState(xbar=st.xbar + sol1.dx, ubar=st.ubar + sol1.du)
+    x1 = F(x0, st2.ubar[0], spec.stage_params[0], params)
+    qp2 = build_qp(spec, st2, x1, F, params)
+    return qp1, qp2
+
+
+def test_pallas_ipm_warm_start_interpret():
+    """Cross-tick slack/dual warm-start MECHANICS: the solution's
+    last-iterate slacks/duals are finite and round-trip through
+    qp.ipm.warm_start_from into a finite, bound-respecting warm solve,
+    and a warm start with valid=0 reproduces the cold solve exactly.
+
+    Quality is deliberately NOT asserted: measured on hardware, warm
+    chains degrade transient closed loops (the reason the deployed loop
+    cold-starts every tick, like the reference's HPIPM warm_start=0 —
+    see sqp/rti.py::rti_step_warm)."""
+    from mpc_blaster_tpu.qp.ipm import warm_start_from
+
+    qp1, qp2 = _rti_qp_pair(N=8)
+    b = lambda qp: jax.tree.map(lambda a: a[None], qp)
+
+    sol1 = pallas_box_qp_solve(b(qp1), iters=8, interpret=True)
+    assert sol1.s_lx is not None and sol1.lam_uu is not None
+    assert np.isfinite(np.asarray(sol1.s_lx)).all()
+    assert (np.asarray(sol1.s_lx) > 0).all()
+    assert (np.asarray(sol1.lam_lu) >= 0).all()
+    warm = jax.vmap(warm_start_from)(sol1)
+
+    warm6 = pallas_box_qp_solve(b(qp2), iters=6, interpret=True, warm=warm)
+    assert np.isfinite(float(warm6.mu[0]))
+    assert np.isfinite(np.asarray(warm6.du)).all()
+    du = np.asarray(warm6.du[0])
+    assert (du >= np.asarray(qp2.lbu) - 1e-3).all()
+    assert (du <= np.asarray(qp2.ubu) + 1e-3).all()
+    # bounded, not tight: warm duals shrink the fraction-to-boundary
+    # steps, so the equality residual decays slowly (the quality caveat)
+    assert float(warm6.kkt_eq[0]) < 1.0
+
+    # valid=0 warm start must be EXACTLY the cold path
+    warm_off = warm._replace(valid=jnp.zeros_like(warm.valid))
+    off = pallas_box_qp_solve(b(qp2), iters=6, interpret=True,
+                              warm=warm_off)
+    cold = pallas_box_qp_solve(b(qp2), iters=6, interpret=True)
+    np.testing.assert_array_equal(np.asarray(off.du), np.asarray(cold.du))
+
+
+def test_pallas_warm_blend_nan_guard_interpret():
+    """A NaN in the warm start must fall back to the cold init per entry,
+    not poison the solve (robustness for long warm chains)."""
+    from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+
+    qp1, qp2 = _rti_qp_pair(N=8)
+    b = jax.tree.map(lambda a: a[None], qp2)
+    N_, nx, nu = qp2.horizon, qp2.nx, qp2.nu
+    zx = jnp.full((1, N_, nx), jnp.nan, jnp.float32)
+    zu = jnp.full((1, N_, nu), jnp.nan, jnp.float32)
+    warm = IpmWarmStart(zx, zx, zx, zx, zu, zu, zu, zu,
+                        jnp.ones((1,), jnp.float32))
+    sol = pallas_box_qp_solve(b, iters=4, interpret=True, warm=warm)
+    cold = pallas_box_qp_solve(b, iters=4, interpret=True)
+    assert np.isfinite(np.asarray(sol.du)).all()
+    np.testing.assert_allclose(np.asarray(sol.du), np.asarray(cold.du),
+                               atol=1e-5)
 
 
 def test_pallas_ipm_stream_matches_resident_interpret():

@@ -167,10 +167,14 @@ def test_warm_started_rti_fewer_iterations():
     st_c = init_rti_state(ocp, x0, DTYPE)
     st_w = init_rti_state(ocp, x0, DTYPE)
     warm = IpmWarmStart.zeros(ocp.N, cfg.NX, cfg.NU, DTYPE)
+    # jit once: eight eager (untraced) ticks cost ~90 s of CPU suite time
+    step_c = jax.jit(lambda sp, st, x: rti_step(sp, st, x, params, F,
+                                                ocp.solver))
+    step_w = jax.jit(lambda sp, st, w, x: rti_step_warm(sp, st, w, x,
+                                                        params, F, solver6))
     for i in range(8):
-        u_c, st_c, diag_c = rti_step(spec, st_c, x0, params, F, ocp.solver)
-        u_w, st_w, warm, diag_w = rti_step_warm(spec, st_w, warm, x0,
-                                                params, F, solver6)
+        u_c, st_c, diag_c = step_c(spec, st_c, x0)
+        u_w, st_w, warm, diag_w = step_w(spec, st_w, warm, x0)
     # same hover decision to control tolerance
     np.testing.assert_allclose(np.asarray(u_w[0:4]), np.asarray(u_c[0:4]),
                                rtol=5e-3)

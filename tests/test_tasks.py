@@ -59,12 +59,12 @@ def test_online_poc_relinearization():
     """poc_mode='online' (beyond-reference): re-linearize POC every tick;
     runs stably and keeps the POC states evolving."""
     preset = cfg.simulation_preset()
-    res = run_preset(preset, n_steps=50, dtype=DTYPE, poc_mode="online")
+    res = run_preset(preset, n_steps=30, dtype=DTYPE, poc_mode="online")
     xs = np.asarray(res.xs)
     assert np.isfinite(xs).all()
     assert np.abs(xs[:, 14:17]).max() > 1e-4
     # online linearizes at the live pose (starting at z=0), frozen at the
     # reference's canonical pose (z=4): the POC propagation must differ
-    frozen = run_preset(preset, n_steps=50, dtype=DTYPE, with_poc=True)
+    frozen = run_preset(preset, n_steps=30, dtype=DTYPE, with_poc=True)
     d = np.abs(np.asarray(frozen.xs)[:, 14] - xs[:, 14])
     assert d.max() > 1e-3
