@@ -194,6 +194,29 @@ def main():
         log(f"bench: figure-8 {backend}{iters} settle error = "
             f"{fig8[iters]:.4f} m")
 
+    # ---- flagship demo: blast-scan TRUE-POC washing accuracy ----
+    # Descend-while-washing (docs/blast_scan.png): the reference's exact
+    # configuration (POC Jacobians frozen pre-loop, belief propagated by
+    # that linearization, `simulation_blaster.py:37-39`) vs per-tick
+    # nonlinear POC evaluation (beyond-reference; affordable because the
+    # closed-form jacfwd jet solve replaced 9 FD re-integrations).
+    blast = {}
+    try:
+        from mpc_blaster_tpu.poc.solver import true_poc_traj
+        from mpc_blaster_tpu.sim.tasks import run_blast_scan
+        log("bench: blast-scan true-POC accuracy (ref config vs anchored)")
+        kwb = dict(n_steps=300, dtype=dtype, z_end=1.5, t_ramp_s=6.0,
+                   frozen_at="canonical")
+        for label, plant in (("ref", "linear"), ("anchored", "exact")):
+            res = run_blast_scan(poc_mode="frozen", plant_poc=plant, **kwb)
+            tp = np.asarray(true_poc_traj(res.xs))
+            refs_b = np.asarray(res.refs)
+            terr = np.linalg.norm(tp[1:, 0:2] - refs_b[:, 14:16], axis=1)
+            blast[label] = float(terr[90:].mean())
+            log(f"bench: blast-scan {label} true err = {blast[label]:.4f} m")
+    except Exception as e:  # pragma: no cover
+        blast["error"] = str(e)[:200]
+
     baseline_rate = 30.0  # reference real-time solve rate (33.3 ms/tick)
     print(json.dumps({
         "metric": "nmpc_rti_solves_per_sec_per_chip_N20",
@@ -214,6 +237,9 @@ def main():
         "n60_xla_solves_per_s": round(results.get("n60_xla") or 0.0, 1),
         "n60_pallas_solves_per_s": round(results.get("n60_pallas") or 0.0,
                                          1),
+        "blast_true_poc_err_ref_m": round(blast.get("ref", -1.0), 4),
+        "blast_true_poc_err_anchored_m": round(blast.get("anchored", -1.0),
+                                               4),
         "realtime_budget_ms": 33.333,
         "batch": B,
         "device": str(dev),

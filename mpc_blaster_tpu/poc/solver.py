@@ -109,6 +109,24 @@ def poc_jacobians_fd(euler, alpha, position, stream_velocity=150.0, drag=1.0,
     return j_mot, j_eul, j_pos
 
 
+def true_poc_traj(xs: jnp.ndarray, stream_velocity: float = 150.0,
+                  drag: float = 1.0, iters: int = 12,
+                  convention: str = "htm") -> jnp.ndarray:
+    """TRUE nonlinear jet impact points along a state trajectory.
+
+    xs: (T, nx) blaster states (uses euler x[3:6], gimbal x[12:14],
+    position x[0:3]). Returns (T, 3) impact points — the physical ground
+    truth against which the linearized POC *belief* (x[14:17]) should be
+    judged. The reference cannot afford this (9 FD re-integrations per
+    pose, `Jacobian_POC_Solver.py:248-296`); the closed-form solve makes
+    it a vmapped microsecond-scale evaluation.
+    """
+    f = jax.vmap(lambda x: solve_poc(x[3:6], x[12:14], x[0:3],
+                                     stream_velocity, drag, iters,
+                                     convention)[0])
+    return f(xs)
+
+
 class PocSolver:
     """Object-style facade with the reference class's workflow.
 

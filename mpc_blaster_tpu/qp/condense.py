@@ -35,15 +35,20 @@ Structure of one condensed stage j (block of stages k = jM .. jM+M-1):
   standard barrier algebra: their curvature lands as G' diag(sigma) G dense
   updates on the condensed stage Hessian blocks.
 
-Validated scope: f64 everywhere (single solves + closed loops, tests);
-f32 single solves for M <= ~6 after the row/column equilibrations below
-(without them the 11-decade H_uu spread of the blaster cost is unsolvable
-in f32). f32 *closed loops* accumulate error in the ~flat gimbal channels
-over ~30 ticks — for f32 RTI production loops keep the default
-qp_backend="riccati" (which exactly matches the reference's effective
-cond_N=N configuration anyway); the condensed backend is the
-long-horizon/f64/offline option. HPIPM itself is double-precision — the
-same boundary, met honestly.
+Validated scope: f64 and f32, single solves AND closed loops (including
+cold transients with violated interior-state rows). f32 needs, in order
+of discovery: the row/column equilibrations below (without them the
+11-decade H_uu spread of the blaster cost is unsolvable in f32), scale-
+meaningful general-constraint slack initialization (see init_pair), and —
+decisively — the square-root array-form Riccati Newton core
+(qp/sqrt_riccati.py, default for f32 via the `sqrt` flag): the plain
+recursion's dense-barrier squaring conditions past 1/eps_f32 whenever
+interior state bounds are active, and no equilibration can fix stiffness
+that is not axis-aligned. Measured on the sim-preset transient QP: plain
+f32 max control error 16.6 (solver diverged in closed loop by 0.2 m at
+tick one); sqrt f32 0.29 with the objective 0.12% off f64; f32 figure-8
+closed loop at cond_M=5 settles to 0.0301 m vs 0.0297 m in f64. HPIPM
+itself is double-precision only; this backend exceeds that boundary.
 """
 from __future__ import annotations
 
@@ -73,6 +78,10 @@ class CondensedQP(NamedTuple):
           Gamma/Bbar/Rbar/Sbar/rbar/lbU/ubU/Gu stored pre-scaled)
       Phi (Nc, M, nx, nx); Gamma (Nc, M, nx, nU); dvec (Nc, M, nx)
       dx0 (nx,)
+      Crows (Nc, M*(nx+nu), nU+nx): stage-cost ROW FACTORS, columns
+          ordered [U | X], with Crows' Crows = [[Rbar, Sbar],
+          [Sbar', Qbar_stage]] (scaled-U space) — the square-root
+          backend's Gram-free stage cost (qp/sqrt_riccati.py)
     """
 
     Abar: jnp.ndarray
@@ -98,6 +107,7 @@ class CondensedQP(NamedTuple):
     Gamma: jnp.ndarray
     dvec: jnp.ndarray
     dx0: jnp.ndarray
+    Crows: jnp.ndarray
 
     @property
     def ncond(self) -> int:
@@ -203,6 +213,27 @@ def condense(data: QPData, M: int) -> CondensedQP:
     lbU = data.lbu.reshape(Nc, nU) / uscale
     ubU = data.ubu.reshape(Nc, nU) / uscale
 
+    # Stage-cost row factors for the square-root backend: every row is an
+    # ORIGINAL fine-stage cost factor pushed through the block maps, so
+    # the Gram [[Rbar, Sbar], [Sbar', Qbar_stage]] is represented without
+    # ever being formed (no squaring -> f32-stable, qp/sqrt_riccati.py).
+    #   fine Q_m rows: Lq_m' [Gamma_m | Phi_m]   (Q_m = Lq_m Lq_m')
+    #   fine R_m rows: Lr_m' into column block m (uscale-scaled)
+    from mpc_blaster_tpu.qp.smallalg import chol_factor
+    Lq = chol_factor(Q)                           # (Nc, M, nx, nx) lower
+    GP = jnp.concatenate([Gamma_s, jnp.broadcast_to(
+        Phi, (Nc, M, nx, nx))], axis=-1)          # (Nc, M, nx, nU+nx)
+    Qrows = jnp.einsum("cmki,cmkj->cmij", Lq, GP).reshape(
+        Nc, M * nx, nU + nx)
+    Lr = chol_factor(R)                           # (Nc, M, nu, nu) lower
+    Rrows = jnp.zeros((Nc, M, nu, nU + nx), dtype)
+    for i in range(M):
+        blk = jnp.swapaxes(Lr[:, i], -1, -2) \
+            * uscale[:, None, i * nu:(i + 1) * nu]
+        Rrows = Rrows.at[:, i, :, i * nu:(i + 1) * nu].set(blk)
+    Crows = jnp.concatenate([Qrows, Rrows.reshape(Nc, M * nu, nU + nx)],
+                            axis=-2)
+
     return CondensedQP(
         Abar=Abar, Bbar=Bbar, cbar=cbar,
         Qbar=Qbar, qbar=qbar, Rbar=Rbar, rbar=rbar, Sbar=Sbar,
@@ -211,6 +242,7 @@ def condense(data: QPData, M: int) -> CondensedQP:
         Gx=Gx, Gu=Gu, goff=goff, lbg=lbg, ubg=ubg, gscale=rscale,
         uscale=uscale,
         Phi=Phi, Gamma=Gamma_s, dvec=dvec, dx0=data.dx0,
+        Crows=Crows,
     )
 
 
@@ -253,26 +285,35 @@ class _CGS(NamedTuple):
 def condensed_qp_solve(data: QPData, M: int, iters: int = 12,
                        mu0: float = 1e-1, alpha_frac: float = 0.995,
                        reg: float = 1e-9, s_min: float = 1e-3,
-                       mu_min: float = 1e-12, refine: int = 1
-                       ) -> QPSolution:
+                       mu_min: float = 1e-12, refine: int = 1,
+                       sqrt: bool | None = None) -> QPSolution:
     """Solve the OCP QP via partial condensing with block size M.
 
     Drop-in alternative to `box_qp_solve` (same QPData in, same QPSolution
     out, duals re-scattered to per-stage shape). Full-precision matmuls for
     the same reason as everywhere else in the QP stack.
+
+    sqrt: use the square-root (array-form QR) Riccati Newton core
+    (qp/sqrt_riccati.py). None (default) = on for <=32-bit dtypes, where
+    the plain recursion's dense barrier squaring is unsolvable (its
+    condition exceeds 1/eps_f32 whenever interior state bounds are
+    active/violated — measured on the sim-preset transient); off for f64,
+    where the plain path is accurate and cheaper.
     """
     with jax.default_matmul_precision("high"):
         cqp = condense(data, M)
         return _csolve(cqp, data, iters, mu0, alpha_frac, reg, s_min,
-                       mu_min, refine)
+                       mu_min, refine, sqrt)
 
 
 def _csolve(cqp: CondensedQP, data: QPData, iters, mu0, alpha_frac, reg,
-            s_min, mu_min, refine=1):
+            s_min, mu_min, refine=1, sqrt=None):
     Nc, M = cqp.ncond, cqp.block
     nx = cqp.Abar.shape[-1]
     nU = cqp.Bbar.shape[-1]
     dtype = cqp.Abar.dtype
+    if sqrt is None:
+        sqrt = jnp.finfo(dtype).bits <= 32
     if jnp.finfo(dtype).bits <= 32:
         mu_min = max(mu_min, 1e-7)
         reg = max(reg, 1e-6)
@@ -316,18 +357,29 @@ def _csolve(cqp: CondensedQP, data: QPData, iters, mu0, alpha_frac, reg,
         return (jnp.einsum("cgi,ci->cg", cqp.Gx, dX[:-1])
                 + jnp.einsum("cgi,ci->cg", cqp.Gu, dU) + cqp.goff)
 
-    def init_pair(gap, mask):
-        s = jnp.where(mask, jnp.maximum(gap, s_min), _BIG)
+    def init_pair(gap, mask, floor=s_min):
+        s = jnp.where(mask, jnp.maximum(gap, floor), _BIG)
         lam = jnp.where(mask, mu0 / s, 0.0).astype(dtype)
         return s, lam
 
+    # General-constraint slacks start at >= 0.1 (rows are unit-normalized
+    # by gscale, so 0.1 is scale-meaningful) rather than the tiny s_min:
+    # this is an infeasible-start IPM, so s != gap is absorbed by the
+    # slack residual. With violated interior-state rows clamped to
+    # s = 1e-3 the first-iteration barrier puts sigma ~ mu0/s^2 = 1e5 on
+    # DENSE (non-axis) directions of G' sigma G; the equilibrated
+    # condensed Newton system then conditions at ~3e8, past f32, and the
+    # very first direction came out 170% wrong (measured; axis-aligned
+    # box sigmas of the same size are harmless — Jacobi equilibration
+    # absorbs diagonal spread, not stiff cross-coupling). Floored at 0.1
+    # the same direction is 8e-5 accurate and the f32 solve converges.
     v_g0 = gvals(dX0_traj, dU0)
     s_lX, lam_lX = init_pair(dX0_traj[1:] - cqp.lbX[1:], mask_lX)
     s_uX, lam_uX = init_pair(cqp.ubX[1:] - dX0_traj[1:], mask_uX)
     s_lU, lam_lU = init_pair(dU0 - cqp.lbU, mask_lU)
     s_uU, lam_uU = init_pair(cqp.ubU - dU0, mask_uU)
-    s_lg, lam_lg = init_pair(v_g0 - cqp.lbg, mask_lg)
-    s_ug, lam_ug = init_pair(cqp.ubg - v_g0, mask_ug)
+    s_lg, lam_lg = init_pair(v_g0 - cqp.lbg, mask_lg, 0.1)
+    s_ug, lam_ug = init_pair(cqp.ubg - v_g0, mask_ug, 0.1)
 
     st0 = _CGS(dX=dX0_traj, dU=dU0,
                s_lX=s_lX, s_uX=s_uX, lam_lX=lam_lX, lam_uX=lam_uX,
@@ -389,7 +441,41 @@ def _csolve(cqp: CondensedQP, data: QPData, iters, mu0, alpha_frac, reg,
                              cqp.Gu))
         Smod = cqp.Sbar + jnp.einsum("cgi,cgj->cij",
                                      cqp.Gu * sig_g[:, :, None], cqp.Gx)
-        fac = riccati_factorize(cqp.Abar, cqp.Bbar, Qmod, Rmod, reg, S=Smod)
+        if sqrt:
+            # Square-root Newton core: stack barrier rows onto the stored
+            # cost row factors — the modified Hessians above are still
+            # formed (cheap) but used only for residual EVALUATION
+            # (refine, merit), never factored.
+            from mpc_blaster_tpu.qp.sqrt_riccati import (sqrt_factorize,
+                                                         sqrt_solve_rhs)
+            from mpc_blaster_tpu.qp.smallalg import chol_factor
+            rowsU = jnp.concatenate(
+                [jnp.sqrt(sig_U + reg)[..., None] * eye_U[None],
+                 jnp.zeros((Nc, nU, nx), dtype)], axis=-1)
+            # sig_X applies to stages 1..Nc; stage k's cost carries
+            # sig_X[k-1] (k=0's state is pinned), the terminal sig_X[-1]
+            # goes into Z_N below.
+            sigX_stage = jnp.concatenate(
+                [jnp.zeros((1, nx), dtype), sig_X[:-1]], axis=0)
+            rowsX = jnp.concatenate(
+                [jnp.zeros((Nc, nx, nU), dtype),
+                 jnp.sqrt(sigX_stage)[..., None] * eye_x[None]], axis=-1)
+            rowsG = jnp.sqrt(sig_g)[..., None] * jnp.concatenate(
+                [cqp.Gu, cqp.Gx], axis=-1)
+            C = jnp.concatenate([cqp.Crows, rowsU, rowsX, rowsG], axis=-2)
+            ZN = jnp.swapaxes(chol_factor(Qmod[-1]), -1, -2)
+            fac = sqrt_factorize(cqp.Abar, cqp.Bbar, C, ZN)
+
+            def solve_rhs_fn(c_, q_, r_):
+                return sqrt_solve_rhs(fac, cqp.Abar, cqp.Bbar, c_, q_, r_,
+                                      dX0_zero)
+        else:
+            fac = riccati_factorize(cqp.Abar, cqp.Bbar, Qmod, Rmod, reg,
+                                    S=Smod)
+
+            def solve_rhs_fn(c_, q_, r_):
+                return riccati_solve_rhs(fac, cqp.Abar, cqp.Bbar, c_, q_,
+                                         r_, dX0_zero)
 
         gX_full = (jnp.einsum("cij,cj->ci", cqp.Qbar, st.dX) + cqp.qbar)
         gX_full = gX_full.at[:-1].add(
@@ -402,18 +488,27 @@ def _csolve(cqp: CondensedQP, data: QPData, iters, mu0, alpha_frac, reg,
                 - st.dX[1:])
 
         def rhs_grads(T_lX, T_uX, T_lU, T_uU, T_lg, T_ug):
-            bX = (- jnp.where(mask_lX, T_lX / st.s_lX, 0.0)
-                  - jnp.where(mask_lX, st.lam_lX / st.s_lX, 0.0) * r_slX
-                  + jnp.where(mask_uX, T_uX / st.s_uX, 0.0)
-                  + jnp.where(mask_uX, st.lam_uX / st.s_uX, 0.0) * r_suX)
-            bU = (- jnp.where(mask_lU, T_lU / st.s_lU, 0.0)
-                  - jnp.where(mask_lU, st.lam_lU / st.s_lU, 0.0) * r_slU
-                  + jnp.where(mask_uU, T_uU / st.s_uU, 0.0)
-                  + jnp.where(mask_uU, st.lam_uU / st.s_uU, 0.0) * r_suU)
-            bg = (- jnp.where(mask_lg, T_lg / st.s_lg, 0.0)
-                  - jnp.where(mask_lg, st.lam_lg / st.s_lg, 0.0) * r_slg
-                  + jnp.where(mask_ug, T_ug / st.s_ug, 0.0)
-                  + jnp.where(mask_ug, st.lam_ug / st.s_ug, 0.0) * r_sug)
+            # lam/s and T/s factors capped at sigma_max, exactly like the
+            # full-horizon IPM (qp/ipm.py): with slacks at the eps floor
+            # these divides overflow f32 and poison the RHS.
+            def slam(lam, s):
+                return jnp.minimum(lam / s, sigma_max)
+
+            def cdiv(T, s):
+                return jnp.clip(T / s, -sigma_max, sigma_max)
+
+            bX = (- jnp.where(mask_lX, cdiv(T_lX, st.s_lX), 0.0)
+                  - jnp.where(mask_lX, slam(st.lam_lX, st.s_lX), 0.0) * r_slX
+                  + jnp.where(mask_uX, cdiv(T_uX, st.s_uX), 0.0)
+                  + jnp.where(mask_uX, slam(st.lam_uX, st.s_uX), 0.0) * r_suX)
+            bU = (- jnp.where(mask_lU, cdiv(T_lU, st.s_lU), 0.0)
+                  - jnp.where(mask_lU, slam(st.lam_lU, st.s_lU), 0.0) * r_slU
+                  + jnp.where(mask_uU, cdiv(T_uU, st.s_uU), 0.0)
+                  + jnp.where(mask_uU, slam(st.lam_uU, st.s_uU), 0.0) * r_suU)
+            bg = (- jnp.where(mask_lg, cdiv(T_lg, st.s_lg), 0.0)
+                  - jnp.where(mask_lg, slam(st.lam_lg, st.s_lg), 0.0) * r_slg
+                  + jnp.where(mask_ug, cdiv(T_ug, st.s_ug), 0.0)
+                  + jnp.where(mask_ug, slam(st.lam_ug, st.s_ug), 0.0) * r_sug)
             q_rhs = gX_full.at[1:].add(bX)
             q_rhs = q_rhs.at[:-1].add(jnp.einsum("cgi,cg->ci", cqp.Gx, bg))
             r_rhs = gU_full + bU + jnp.einsum("cgi,cg->ci", cqp.Gu, bg)
@@ -450,16 +545,14 @@ def _csolve(cqp: CondensedQP, data: QPData, iters, mu0, alpha_frac, reg,
                      + jnp.einsum("cij,cj->ci", cqp.Abar, d_dX[:-1])
                      + jnp.einsum("cij,cj->ci", cqp.Bbar, d_dU)
                      - d_dX[1:])
-            dd_dX, dd_dU = riccati_solve_rhs(
-                fac, cqp.Abar, cqp.Bbar, res_c, jnp.zeros_like(q_rhs),
-                res_u, dX0_zero)
+            dd_dX, dd_dU = solve_rhs_fn(res_c, jnp.zeros_like(q_rhs),
+                                        res_u)
             return d_dX + dd_dX, d_dU + dd_dU
 
         def directions(Ts):
             T_lX, T_uX, T_lU, T_uU, T_lg, T_ug = Ts
             q_rhs, r_rhs = rhs_grads(*Ts)
-            d_dX, d_dU = riccati_solve_rhs(fac, cqp.Abar, cqp.Bbar, r_eq,
-                                           q_rhs, r_rhs, dX0_zero)
+            d_dX, d_dU = solve_rhs_fn(r_eq, q_rhs, r_rhs)
             for _ in range(refine):
                 d_dX, d_dU = refine_dirs(d_dX, d_dU, q_rhs, r_rhs)
             dv_g = (jnp.einsum("cgi,ci->cg", cqp.Gx, d_dX[:-1])
@@ -472,7 +565,11 @@ def _csolve(cqp: CondensedQP, data: QPData, iters, mu0, alpha_frac, reg,
             d_sug = jnp.where(mask_ug, -dv_g - r_sug, 0.0)
 
             def dl(lam, s, ds, T, mask):
-                return jnp.where(mask, (T - s * lam - lam * ds) / s, 0.0)
+                # clamp: with s at the eps floor the divide can reach inf,
+                # and a_d*inf with a collapsed dual step (a_d=0) is NaN
+                return jnp.where(
+                    mask, jnp.clip((T - s * lam - lam * ds) / s,
+                                   -1e12, 1e12), 0.0)
             d_llX = dl(st.lam_lX, st.s_lX, d_slX, T_lX, mask_lX)
             d_luX = dl(st.lam_uX, st.s_uX, d_suX, T_uX, mask_uX)
             d_llU = dl(st.lam_lU, st.s_lU, d_slU, T_lU, mask_lU)

@@ -42,6 +42,24 @@ def chol_unrolled(M: jnp.ndarray):
     return L, min_piv
 
 
+def chol_factor(M: jnp.ndarray) -> jnp.ndarray:
+    """Dense lower-Cholesky factor L (M = L L') of a PSD (..., n, n).
+
+    Unrolled at trace time (small n), batched over leading dims. Pivots
+    are floored at 1e-12 (chol_unrolled), so exactly-singular PSD inputs
+    (e.g. a zero cost row) yield a finite factor whose Gram differs from
+    M only by ~1e-12 on the null directions — the use case is row-stacked
+    square-root cost factors (qp/sqrt_riccati.py), where that bias is a
+    harmless regularization.
+    """
+    n = M.shape[-1]
+    L, _ = chol_unrolled(M)
+    zero = L[0][0] * 0
+    rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(n)],
+                      axis=-1) for i in range(n)]
+    return jnp.stack(rows, axis=-2)
+
+
 def chol_inverse(M: jnp.ndarray) -> jnp.ndarray:
     """Inverse of an SPD (..., n, n) via unrolled Cholesky: M^-1 = L^-T L^-1.
 
@@ -104,7 +122,26 @@ def spd_inverse(M: jnp.ndarray, base: int = 8) -> jnp.ndarray:
     which emits a handful of dense matmuls per level (MXU work, log2(n/base)
     levels) and keeps the scalar unrolling at the leaves. Schur complements
     of SPD matrices are SPD, so the recursion is well-posed.
+
+    The whole matrix is Jacobi-equilibrated ONCE at the top before the
+    recursion (unit diagonal => every off-diagonal entry of an SPD matrix
+    is <= 1 in magnitude, and so is every Schur complement's). Without
+    this, S = C - B' A^-1 B is formed in raw scale: the condensed IPM's
+    barrier-modified Hessians span ~14 decades and the f32 cancellation
+    in that subtraction destroyed the Newton directions whenever state
+    boxes were active (measured: kkt_stat ~7e2 vs ~1 on the same QP on
+    the full-horizon path, whose 6x6 blocks are leaf-equilibrated).
     """
+    n = M.shape[-1]
+    if n <= base:
+        return chol_inverse(M)
+    diag = jnp.diagonal(M, axis1=-2, axis2=-1)
+    d = jnp.sqrt(jnp.maximum(diag, 1e-30))
+    inv = _spd_inverse_rec(M / (d[..., :, None] * d[..., None, :]), base)
+    return inv / (d[..., :, None] * d[..., None, :])
+
+
+def _spd_inverse_rec(M: jnp.ndarray, base: int) -> jnp.ndarray:
     n = M.shape[-1]
     if n <= base:
         return chol_inverse(M)
@@ -112,10 +149,10 @@ def spd_inverse(M: jnp.ndarray, base: int = 8) -> jnp.ndarray:
     A = M[..., :h, :h]
     B = M[..., :h, h:]
     C = M[..., h:, h:]
-    Ai = spd_inverse(A, base)
+    Ai = _spd_inverse_rec(A, base)
     AiB = Ai @ B
     S = C - jnp.swapaxes(B, -1, -2) @ AiB
-    Si = spd_inverse(S, base)
+    Si = _spd_inverse_rec(S, base)
     AiB_Si = AiB @ Si
     TL = Ai + AiB_Si @ jnp.swapaxes(AiB, -1, -2)
     TR = -AiB_Si

@@ -51,6 +51,51 @@ def plot_closed_loop(result, dt: float, path: Optional[str] = None):
     return fig
 
 
+def plot_blast_scan(results: dict, path: Optional[str] = None,
+                    settle: int = 60):
+    """Blast-scan showcase figure: true-POC washing accuracy per config.
+
+    results: {label: TrackingResult} from `sim.tasks.run_blast_scan`
+    (plant truth is re-evaluated here via `poc.solver.true_poc_traj`, so
+    linear-belief runs are judged against physics, not their own belief).
+    Left panel: the commanded ground pattern vs the TRUE jet impact
+    traces. Right panel: true-error time series + the altitude ramp that
+    makes frozen linearizations stale.
+    """
+    import jax.numpy as jnp
+
+    from mpc_blaster_tpu.poc.solver import true_poc_traj
+
+    fig, (axg, axt) = plt.subplots(1, 2, figsize=(13, 5.5))
+    first = next(iter(results.values()))
+    refs = np.asarray(first.refs)
+    dt_guess = 1 / 30.0
+    t = (np.arange(refs.shape[0]) + 1) * dt_guess
+    axg.plot(refs[:, 14], refs[:, 15], "k--", lw=1.2,
+             label="commanded pattern")
+    for label, res in results.items():
+        tp = np.asarray(true_poc_traj(jnp.asarray(res.xs)))
+        err = np.linalg.norm(tp[1:, 0:2] - np.asarray(res.refs)[:, 14:16],
+                             axis=1)
+        axg.plot(tp[settle:, 0], tp[settle:, 1], lw=1.0,
+                 label=f"{label} (true impact)")
+        axt.plot(t, err, lw=1.0,
+                 label=f"{label}: mean {err[settle:].mean()*1e3:.1f} mm")
+    axg.set_xlabel("ground x [m]"); axg.set_ylabel("ground y [m]")
+    axg.set_title("water-jet impact pattern"); axg.legend(); axg.axis("equal")
+    axz = axt.twinx()
+    axz.plot(t, np.asarray(first.refs)[:, 2], color="0.7", lw=0.8)
+    axz.set_ylabel("altitude ref [m]", color="0.5")
+    axt.set_xlabel("t [s]"); axt.set_ylabel("TRUE |POC err| [m]")
+    axt.set_title("physical washing error"); axt.legend()
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        return path
+    return fig
+
+
 def plot_jet_trajectory(euler, alpha, position, stream_velocity=150.0,
                         drag=1.0, n_points: int = 120,
                         path: Optional[str] = None):

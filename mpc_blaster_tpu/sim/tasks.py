@@ -48,7 +48,9 @@ def figure8_refs(n_points: int, dt: float, amplitude_x: float = 1.0,
 
 
 def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
-                       plant_substeps: int = 1, warm_start: bool = False):
+                       plant_substeps: int = 1, warm_start: bool = False,
+                       poc_mode: str = "frozen", plant_poc: str = "linear",
+                       poc_cfg: Optional[cfg.PocSolverConfig] = None):
     """run(spec, x0, ref_traj) with ref_traj (n_steps + N + 1, nx).
 
     Per tick i the controller tracks stage references ref_traj[i+1 : i+N+1]
@@ -58,6 +60,20 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
     warm_start=True carries IPM slack/dual warm starts between ticks; pair
     with reduced `ocp.solver.ipm_iters` (and `qp_backend="pallas"` on TPU)
     for the latency-critical deployment loop.
+
+    poc_mode: "frozen" keeps the POC Jacobians in `spec` fixed for the run
+    (the reference's behavior, `simulation_blaster.py:37-39`); "online"
+    re-linearizes the jet at the live pose every tick inside the scan
+    (beyond-reference; see `sim/closedloop.py`).
+
+    plant_poc: "linear" propagates the plant's POC states with the same
+    linearized poc_dot the controller model uses (the reference's sim,
+    where plant == model); "exact" overwrites the plant POC after each
+    step with the TRUE nonlinear jet impact point at the new pose
+    (`poc/solver.solve_poc`) — physically, the impact point is a function
+    of the pose, not a state with memory, so "exact" is the honest plant
+    for judging real blasting accuracy and is what the bench's blast-scan
+    rows report.
     """
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
@@ -65,6 +81,38 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
                                 num_steps=plant_substeps)
     solver = ocp.solver
     N = ocp.N
+    pc = poc_cfg or cfg.PocSolverConfig()
+
+    if poc_mode == "online":
+        from mpc_blaster_tpu.dynamics.blaster import pack_stage_params
+        from mpc_blaster_tpu.poc.solver import poc_jacobians
+
+        def stage_params_for(spec, x):
+            j_mot, j_eul, j_pos = poc_jacobians(
+                x[3:6], x[12:14], x[0:3], pc.stream_velocity, pc.drag,
+                pc.newton_iters)
+            p = pack_stage_params(j_mot, j_eul, j_pos,
+                                  spec.stage_params[0, -1])
+            return jnp.tile(p[None].astype(dtype), (N, 1))
+    elif poc_mode == "frozen":
+        def stage_params_for(spec, x):
+            return spec.stage_params
+    else:
+        raise ValueError(f"unknown poc_mode {poc_mode!r}")
+
+    if plant_poc == "exact":
+        from mpc_blaster_tpu.poc.solver import solve_poc
+
+        def plant_step(x, u0, plant_params):
+            xn = F_plant(x, u0, plant_params, params)
+            poc, _ = solve_poc(xn[3:6], xn[12:14], xn[0:3],
+                               pc.stream_velocity, pc.drag, pc.newton_iters)
+            return xn.at[14:17].set(poc.astype(dtype))
+    elif plant_poc == "linear":
+        def plant_step(x, u0, plant_params):
+            return F_plant(x, u0, plant_params, params)
+    else:
+        raise ValueError(f"unknown plant_poc {plant_poc!r}")
 
     @jax.jit
     def run(spec: OCPSpec, x0: jnp.ndarray, ref_traj: jnp.ndarray
@@ -74,10 +122,12 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
         rti0 = init_rti_state(ocp, x0, dtype)
         plant_params = spec.stage_params[0]
 
-        def window_spec(i):
+        def window_spec(i, x):
             window = jax.lax.dynamic_slice(
                 ref_traj, (i + 1, 0), (N, cfg.NX))
-            return spec._replace(yref_x=window, yref_e=window[-1]), window
+            return spec._replace(yref_x=window, yref_e=window[-1],
+                                 stage_params=stage_params_for(spec, x)), \
+                window
 
         if warm_start:
             from mpc_blaster_tpu.qp.ipm import IpmWarmStart
@@ -87,10 +137,10 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
 
             def tick(carry, i):
                 state, warm, x = carry
-                spec_i, window = window_spec(i)
+                spec_i, window = window_spec(i, x)
                 u0, state_new, warm_new, diag = rti_step_warm(
                     spec_i, state, warm, x, params, F, solver)
-                x_next = F_plant(x, u0, plant_params, params)
+                x_next = plant_step(x, u0, plant_params)
                 out = (x_next, u0, window[0], diag.qp_kkt_stat,
                        diag.qp_kkt_eq)
                 return (state_new, warm_new, x_next), out
@@ -100,10 +150,10 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
         else:
             def tick(carry, i):
                 state, x = carry
-                spec_i, window = window_spec(i)
+                spec_i, window = window_spec(i, x)
                 u0, state_new, diag = rti_step(spec_i, state, x, params, F,
                                                solver)
-                x_next = F_plant(x, u0, plant_params, params)
+                x_next = plant_step(x, u0, plant_params)
                 out = (x_next, u0, window[0], diag.qp_kkt_stat,
                        diag.qp_kkt_eq)
                 return (state_new, x_next), out
@@ -160,3 +210,86 @@ def run_blasting(preset: Optional[cfg.Preset] = None, n_steps: int = 200,
                       stage_params=np.asarray(p), dtype=dtype)
     run = make_closed_loop(ocp, n_steps, dtype=dtype)
     return run(spec, jnp.asarray(preset.loop.x0, dtype)), solver
+
+
+def blast_scan_refs(n_points: int, dt: float,
+                    center=(-0.6, 0.0), amp_x: float = 0.7,
+                    amp_y: float = 0.3, period_s: float = 40.0,
+                    hover=(0.0, 0.0, 3.5), z_end: Optional[float] = None,
+                    t_ramp_s: float = 6.0) -> np.ndarray:
+    """(n_points, nx) refs: hover in place, sweep the jet's point of
+    contact along a ground lemniscate (a raster "washing" pattern).
+
+    The sweep runs toward -x: positive gimbal pitch alpha1 tilts the jet
+    toward -x (R_y convention, `core/htm.py`) and the alpha1 box is
+    asymmetric (-0.17..+1.22 rad, `config.py` bounds) — +x reach is ~0.6 m
+    from z=3.5 while -x reach is ~9 m. Amplitudes/period default to rates
+    the +-0.087 rad/s gimbal-rate bounds can follow at z >= 1.5.
+
+    z_end (optional): ramp the hover altitude from hover[2] to z_end over
+    t_ramp_s (descend-while-washing — the approach maneuver that makes any
+    frozen POC linearization stale: dPOC/d(alpha, euler) scales ~z).
+    """
+    t = np.arange(n_points) * dt
+    w = 2.0 * np.pi / period_s
+    refs = np.zeros((n_points, cfg.NX))
+    refs[:, 0:2] = hover[0:2]
+    if z_end is None:
+        refs[:, 2] = hover[2]
+    else:
+        frac = np.minimum(t / t_ramp_s, 1.0)
+        refs[:, 2] = hover[2] + (z_end - hover[2]) * frac
+        refs[:, 8] = np.where(frac < 1.0, (z_end - hover[2]) / t_ramp_s, 0.0)
+    refs[:, 14] = center[0] + amp_x * np.sin(w * t)
+    refs[:, 15] = center[1] + amp_y * np.sin(2.0 * w * t)
+    return refs
+
+
+def run_blast_scan(preset: Optional[cfg.Preset] = None, n_steps: int = 240,
+                   dtype=jnp.float32, poc_mode: str = "frozen",
+                   plant_poc: str = "exact", frozen_at: str = "hover",
+                   **scan_kwargs) -> TrackingResult:
+    """Blast-scan showcase: the drone hovers while the water jet traces a
+    figure-8 on the ground, judged against the TRUE nonlinear impact point.
+
+    This is where online POC re-linearization (beyond-reference; the
+    reference computes the jet Jacobians once before the loop,
+    `simulation_blaster.py:37-39`, because its FD pipeline is too slow to
+    run per tick) pays off: the sweep drives the gimbal across its range,
+    where the frozen dPOC/d(alpha, euler, p) taken at the hover pose is
+    badly stale. The plant reports the exact jet impact point each tick
+    (`plant_poc="exact"`), so `result.xs[:, 14:17]` IS the true POC and
+    `|xs[1:, 14:16] - refs[:, 14:16]|` is the physical washing error.
+
+    frozen_at: where the frozen linearization is taken. "hover" = the
+    task's own start pose (charitable); "canonical" = the reference's
+    exact behavior (`Jacobian_POC_Solver.initialise`: zero angles, z=4).
+    """
+    from mpc_blaster_tpu.dynamics.blaster import pack_stage_params
+    from mpc_blaster_tpu.poc.solver import PocSolver, solve_poc
+
+    preset = preset or cfg.simulation_preset()
+    ocp = preset.ocp
+    hover = scan_kwargs.get("hover", (0.0, 0.0, 3.5))
+    refs = blast_scan_refs(n_steps + ocp.N + 1, ocp.dt, **scan_kwargs)
+
+    solver = PocSolver.from_config(preset.poc)
+    lin_pos = ((0.0, 0.0, 4.0) if frozen_at == "canonical" else hover)
+    solver.solve_jacobians(jnp.zeros(3), jnp.zeros(2),
+                           jnp.asarray(lin_pos, jnp.float64))
+    j_mot, j_eul, j_pos = solver.get_jacobians()
+    t_blast = 2.2 * 9.81 if ocp.quirks.hardcode_t_blast \
+        else ocp.model.blast_thruster
+    p = pack_stage_params(j_mot, j_eul, j_pos, t_blast)
+    spec = build_spec(ocp, stage_params=np.asarray(p), dtype=dtype)
+
+    run = make_tracking_loop(ocp, n_steps, dtype=dtype, poc_mode=poc_mode,
+                             plant_poc=plant_poc, poc_cfg=preset.poc)
+    x0 = np.zeros(cfg.NX)
+    x0[0:3] = hover
+    poc0, _ = solve_poc(jnp.zeros(3), jnp.zeros(2),
+                        jnp.asarray(hover, jnp.float64),
+                        preset.poc.stream_velocity, preset.poc.drag,
+                        preset.poc.newton_iters)
+    x0[14:17] = np.asarray(poc0)
+    return run(spec, jnp.asarray(x0, dtype), jnp.asarray(refs, dtype))

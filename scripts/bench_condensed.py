@@ -9,8 +9,11 @@ Run on the TPU (background; first compiles go through the tunnel):
 """
 import dataclasses
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
@@ -60,7 +63,7 @@ def main():
     fl = cfg.flight_preset().ocp               # N=30
     for name, ocp in (("sim60", sim), ("flight30", fl)):
         bench_tick(ocp, f"{name}-riccati")
-        for M in (5, 10) if ocp.N == 60 else (5, 6):
+        for M in (4, 5, 6, 10) if ocp.N == 60 else (5, 6):
             c = dataclasses.replace(
                 ocp, solver=dataclasses.replace(
                     ocp.solver, qp_backend="condensed", cond_M=M))

@@ -19,3 +19,18 @@ def test_jet_plot(tmp_path):
                                [0.6, 0.0, 3.5],
                                path=str(tmp_path / "jet.png"))
     assert os.path.getsize(path) > 10_000
+
+
+def test_blast_scan_plot(tmp_path):
+    import dataclasses
+    from mpc_blaster_tpu.sim.plots import plot_blast_scan
+    from mpc_blaster_tpu.sim.tasks import run_blast_scan
+
+    preset = dataclasses.replace(
+        cfg.simulation_preset(),
+        ocp=dataclasses.replace(cfg.simulation_preset().ocp, N=20,
+                                Tf=20 / 30.0))
+    res = run_blast_scan(preset=preset, n_steps=12, dtype=jnp.float64)
+    path = plot_blast_scan({"anchored": res},
+                           path=str(tmp_path / "scan.png"), settle=2)
+    assert os.path.getsize(path) > 10_000

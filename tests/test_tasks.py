@@ -68,3 +68,59 @@ def test_online_poc_relinearization():
     frozen = run_preset(preset, n_steps=30, dtype=DTYPE, with_poc=True)
     d = np.abs(np.asarray(frozen.xs)[:, 14] - xs[:, 14])
     assert d.max() > 1e-3
+
+
+def test_blast_scan_true_poc_showcase():
+    """The flagship demo (descend-while-washing): under the reference's
+    exact configuration — POC Jacobians frozen at the canonical pose AND
+    the POC belief propagated by that same linearization with no
+    re-evaluation (`simulation_blaster.py:37-39`, SURVEY.md §3.1) — the
+    controller *believes* mm-level washing accuracy while the TRUE
+    nonlinear jet impact point silently drifts by >5 cm as the altitude
+    ramp invalidates the linearization. Per-tick nonlinear POC evaluation
+    (plant_poc='exact': poc = solve_poc(pose) each tick, affordable only
+    because our closed-form jacfwd solve replaces the reference's 9 FD
+    re-integrations) collapses the TRUE error to the mm level.
+
+    Full-scale numbers (N=60, 360 ticks, measured): reference config
+    believes 3.5 mm while truly off 135 mm mean / 195 mm max; anchored
+    config truly 4.9 mm mean. This test runs a shortened N=30 variant.
+    """
+    import dataclasses
+    from mpc_blaster_tpu.poc.solver import true_poc_traj
+    from mpc_blaster_tpu.sim.tasks import run_blast_scan
+
+    preset = cfg.simulation_preset()
+    preset = dataclasses.replace(
+        preset, ocp=dataclasses.replace(preset.ocp, N=30, Tf=1.0))
+    kw = dict(n_steps=200, dtype=DTYPE, frozen_at="canonical",
+              z_end=1.5, t_ramp_s=4.0)
+
+    ref_cfg = run_blast_scan(poc_mode="frozen", plant_poc="linear",
+                             preset=preset, **kw)
+    anchored = run_blast_scan(poc_mode="frozen", plant_poc="exact",
+                              preset=preset, **kw)
+    s = 60  # settle
+    for res in (ref_cfg, anchored):
+        assert np.isfinite(np.asarray(res.xs)).all()
+
+    def true_err(res):
+        tp = np.asarray(true_poc_traj(res.xs))
+        refs = np.asarray(res.refs)
+        return np.linalg.norm(tp[1:, 0:2] - refs[:, 14:16], axis=1)
+
+    def belief_err(res):
+        xs, refs = np.asarray(res.xs), np.asarray(res.refs)
+        return np.linalg.norm(xs[1:, 14:16] - refs[:, 14:16], axis=1)
+
+    # the reference config's belief is a comfortable illusion ...
+    assert belief_err(ref_cfg)[s:].mean() < 0.02
+    # ... while the TRUE impact point has drifted an order of magnitude
+    assert true_err(ref_cfg)[s:].mean() > 0.05
+    # per-tick nonlinear POC evaluation makes truth == belief, at mm level
+    anchored_true = true_err(anchored)
+    np.testing.assert_allclose(anchored_true, belief_err(anchored),
+                               atol=1e-6)
+    assert anchored_true[s:].mean() < 0.02
+    # headline: >=4x physical washing-accuracy improvement
+    assert true_err(ref_cfg)[s:].mean() > 4.0 * anchored_true[s:].mean()
