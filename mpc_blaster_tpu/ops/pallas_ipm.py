@@ -716,6 +716,14 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
 
     `mu` in the result carries the best KKT merit (stat+eq+comp) per
     problem; kkt_stat/kkt_eq are folded into it.
+
+    DIAGNOSTIC SEMANTICS (differs from `qp/ipm.py`): `kkt_eq` is exact on
+    the returned (best) iterate; `kkt_stat` is an ESTIMATE — the
+    stationarity sweep uses last-iterate duals (the kernel does not store
+    per-iterate dual snapshots; VMEM), clipped by the best KKT merit,
+    which upper-bounds the true residual. Callers comparing backends
+    should compare `mu` (same definition in both) or re-derive
+    stationarity host-side from the returned duals.
     """
     if warm is None:
         from mpc_blaster_tpu.qp.ipm import IpmWarmStart
