@@ -77,7 +77,7 @@ class IpmWarmStart(NamedTuple):
                             jnp.zeros((), dtype))
 
 
-_RICCATI_BACKENDS = ("scan", "pscan", "hybrid")
+_RICCATI_BACKENDS = ("scan", "pscan", "hybrid", "sqrt")
 
 
 def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
@@ -102,6 +102,15 @@ def box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
       - "hybrid": sequential factorization + O(log N) RHS solves — avoids
                   the pscan factorization's (nx, nx) LU custom calls while
                   still collapsing the 2x2 vector sweeps per iteration.
+      - "sqrt":   square-root (array-form QR) factorization
+                  (`qp/sqrt_riccati.py`): factorization error at the
+                  SQUARE ROOT of the plain recursion's condition number.
+                  For box-only QPs the gain is modest (~20% objective-gap
+                  reduction on the blaster cold transient in f32 — RHS
+                  roundoff in the flat gimbal subspace dominates there);
+                  it is decisive for dense barrier terms, which is why
+                  the condensed backend defaults to it in f32
+                  (`qp/condense.py`). One QR custom call per stage.
 
     All matmuls inside the solve are forced to full f32 precision: TPU's
     default bf16 MXU passes destroy the Riccati/IPM numerics (KKT 0.1->10,
@@ -122,6 +131,10 @@ def _box_qp_solve_impl(data, iters, mu0, alpha_frac, reg, s_min,
                        mu_min, warm_du, warm, riccati="scan"):
     if riccati == "scan":
         factorize, solve_rhs = riccati_factorize, riccati_solve_rhs
+    elif riccati == "sqrt":
+        from mpc_blaster_tpu.qp.sqrt_riccati import (
+            riccati_factorize_sqrt, sqrt_solve_rhs)
+        factorize, solve_rhs = riccati_factorize_sqrt, sqrt_solve_rhs
     else:
         from mpc_blaster_tpu.qp.pscan import (
             riccati_factorize_pscan, riccati_solve_rhs_pscan)

@@ -45,19 +45,24 @@ def chol_unrolled(M: jnp.ndarray):
 def chol_factor(M: jnp.ndarray) -> jnp.ndarray:
     """Dense lower-Cholesky factor L (M = L L') of a PSD (..., n, n).
 
-    Unrolled at trace time (small n), batched over leading dims. Pivots
-    are floored at 1e-12 (chol_unrolled), so exactly-singular PSD inputs
-    (e.g. a zero cost row) yield a finite factor whose Gram differs from
-    M only by ~1e-12 on the null directions — the use case is row-stacked
-    square-root cost factors (qp/sqrt_riccati.py), where that bias is a
-    harmless regularization.
+    Unrolled at trace time (small n), batched over leading dims,
+    Jacobi-equilibrated (factor the unit-diagonal rescaling, then scale
+    the rows back — D L_scaled is still lower-triangular) so diagonal
+    scale spread costs no f32 accuracy. Pivots are floored at 1e-12
+    (chol_unrolled), so exactly-singular PSD inputs (e.g. a zero cost
+    row) yield a finite factor whose Gram differs from M only by ~1e-12
+    on the null directions — the use case is row-stacked square-root
+    cost factors (qp/sqrt_riccati.py), where that bias is a harmless
+    regularization.
     """
     n = M.shape[-1]
-    L, _ = chol_unrolled(M)
+    diag = jnp.diagonal(M, axis1=-2, axis2=-1)
+    d = jnp.sqrt(jnp.maximum(diag, 1e-30))
+    L, _ = chol_unrolled(M / (d[..., :, None] * d[..., None, :]))
     zero = L[0][0] * 0
     rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(n)],
                       axis=-1) for i in range(n)]
-    return jnp.stack(rows, axis=-2)
+    return jnp.stack(rows, axis=-2) * d[..., :, None]
 
 
 def chol_inverse(M: jnp.ndarray) -> jnp.ndarray:

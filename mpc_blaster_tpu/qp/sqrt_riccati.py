@@ -76,6 +76,36 @@ def sqrt_factorize(A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray,
     return SqrtRiccatiFactor(K=Ks, Ruu=Ruus, Z=Zs)
 
 
+def riccati_factorize_sqrt(A, B, Q, R, reg: float = 0.0
+                           ) -> SqrtRiccatiFactor:
+    """Drop-in analog of `riccati.riccati_factorize` on the sqrt core.
+
+    For the box-constrained IPM the modified stage Hessians (Q, R) are the
+    benign data Hessians plus DIAGONAL barrier terms, so forming them
+    involves no cancellation; the f32 hazard is the value recursion's
+    subtraction at |P| ~ sigma_max, which the QR array form absorbs.
+    Cost factors come from the Jacobi-equilibrated unrolled Cholesky
+    (smallalg.chol_factor) — diagonal spread is free there.
+
+    Pair with `sqrt_solve_rhs` (same call signature as
+    `riccati.riccati_solve_rhs`). Select via box_qp_solve(riccati="sqrt").
+    """
+    N = A.shape[0]
+    nx, nu = A.shape[-1], B.shape[-1]
+    dtype = A.dtype
+    from mpc_blaster_tpu.qp.smallalg import chol_factor
+    I_u = jnp.eye(nu, dtype=dtype)
+    Lr = chol_factor(R + reg * I_u[None])
+    Lq = chol_factor(Q[:-1])
+    rows_r = jnp.concatenate(
+        [jnp.swapaxes(Lr, -1, -2), jnp.zeros((N, nu, nx), dtype)], axis=-1)
+    rows_q = jnp.concatenate(
+        [jnp.zeros((N, nx, nu), dtype), jnp.swapaxes(Lq, -1, -2)], axis=-1)
+    C = jnp.concatenate([rows_r, rows_q], axis=-2)
+    ZN = jnp.swapaxes(chol_factor(Q[-1]), -1, -2)
+    return sqrt_factorize(A, B, C, ZN)
+
+
 def _h_solve(Ruu, v):
     """H_uu^-1 v via two triangular solves (H_uu = Ruu' Ruu)."""
     y = solve_triangular(Ruu, v, lower=False, trans=1)

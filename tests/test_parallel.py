@@ -18,8 +18,12 @@ B = 16
 
 
 def _setup():
+    # N=24: batched-vs-single / sharded-vs-batched equivalence is
+    # horizon-independent; the N=60 flagship is covered by test_sqp_sim
+    # and the multichip dryrun.
+    import dataclasses
     preset = cfg.simulation_preset()
-    ocp = preset.ocp
+    ocp = dataclasses.replace(preset.ocp, N=24, Tf=24 / 30.0)
     spec = build_spec(ocp, yref=preset.loop.yref, dtype=DTYPE)
     rng = np.random.default_rng(3)
     x0s = np.zeros((B, cfg.NX))

@@ -193,7 +193,8 @@ def test_ipm_vmap_batch():
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
     batched = jax.jit(jax.vmap(lambda d: box_qp_solve(d, iters=15)))
     sols = batched(stacked)
+    ref_fn = jax.jit(lambda d: box_qp_solve(d, iters=15))
     for i, d in enumerate(datas):
-        sol_i = box_qp_solve(d, iters=15)
+        sol_i = ref_fn(d)
         np.testing.assert_allclose(np.asarray(sols.du[i]), np.asarray(sol_i.du),
                                    atol=1e-8)

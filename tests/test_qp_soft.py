@@ -167,8 +167,9 @@ def test_soft_vmap_batch():
                                    dtype=datas[0].A.dtype)
     batched = jax.jit(jax.vmap(lambda d: soft_box_qp_solve(d, soft, iters=20)))
     out = batched(stacked)
+    ref_fn = jax.jit(lambda d: soft_box_qp_solve(d, soft, iters=20))
     for i, d in enumerate(datas):
-        ref = soft_box_qp_solve(d, soft, iters=20)
+        ref = ref_fn(d)
         np.testing.assert_allclose(np.asarray(out.sol.du[i]),
                                    np.asarray(ref.sol.du), atol=1e-8)
 
@@ -199,10 +200,11 @@ def test_rti_step_soft_out_of_box_state():
 
     soft = SoftBounds.state_bounds(ocp.N, cfg.NX, cfg.NU, Zl=1e3, zl=1e2,
                                    dtype=DTYPE)
+    step = jax.jit(lambda sp, st, x, so: rti_step_soft(sp, st, x, params,
+                                                       F, ocp.solver, so))
     u0 = None
     for _ in range(6):
-        u0, state, diag, res = rti_step_soft(spec, state, x0, params, F,
-                                             ocp.solver, soft)
+        u0, state, diag, res = step(spec, state, x0, soft)
     assert np.isfinite(np.asarray(u0)).all()
     assert float(diag.qp_kkt_eq) < 1e-5
     # early-horizon x positions cannot re-enter the box instantly: the upper
