@@ -8,8 +8,11 @@ number reported is pure device-side per-tick latency.
 Run:  python scripts/lat_probe.py 2>&1 | tee /tmp/lat_probe.log
 """
 import dataclasses
+import os
 import json
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 
 import numpy as np

@@ -195,6 +195,7 @@ def test_condensed_m1_identical_to_full_ipm():
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_condensed_backend_closed_loop():
     """qp_backend='condensed' threads through the whole stack: a short
     hover closed loop matches the riccati backend to control tolerance."""

@@ -184,6 +184,7 @@ def test_oracle_active_control_bounds():
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_oracle_closed_loop():
     """(d) closed loop: converged-SQP MPC vs oracle MPC (scipy solved per
     tick). Same plant, same x0 — trajectories must agree to <= 1e-3 in

@@ -156,6 +156,7 @@ def _rti_qp_pair(N=8):
     return qp1, qp2
 
 
+@pytest.mark.slow
 def test_pallas_ipm_warm_start_interpret():
     """Cross-tick slack/dual warm-start MECHANICS: the solution's
     last-iterate slacks/duals are finite and round-trip through
@@ -215,6 +216,7 @@ def test_pallas_warm_blend_nan_guard_interpret():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_ipm_stream_matches_resident_interpret():
     """HBM-streamed P (large-N mode) is numerically identical to the
     VMEM-resident mode."""

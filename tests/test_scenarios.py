@@ -1,6 +1,7 @@
 """Disturbance-robustness sweep: wind + x0 + target draws."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from mpc_blaster_tpu import config as cfg
 from mpc_blaster_tpu.ocp.spec import build_spec
@@ -9,6 +10,7 @@ from mpc_blaster_tpu.sim.scenarios import disturbance_sweep, sample_scenarios
 DTYPE = jnp.float64
 
 
+@pytest.mark.slow
 def test_sweep_settles_under_wind():
     preset = cfg.simulation_preset()
     spec = build_spec(preset.ocp, yref=preset.loop.yref, dtype=DTYPE)

@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from mpc_blaster_tpu import config as cfg
 from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
@@ -94,6 +95,7 @@ def test_closed_loop_flight_preset():
     np.testing.assert_allclose(xs[:, 14:17], 0.0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_closed_loop_f32_close_to_f64():
     """f32 (TPU dtype) controls stay within 1e-3-grade agreement of f64.
 
@@ -152,6 +154,7 @@ def test_closed_loop_f32_reference_weights_stable():
     assert abs(xs[-1, 2] - 3.5) < 0.25
 
 
+@pytest.mark.slow
 def test_warm_started_rti_fewer_iterations():
     """Slack/dual warm starting lets a 6-iteration IPM match the quality of
     the 12-iteration cold solver after the first tick."""
@@ -200,6 +203,7 @@ def test_closed_loop_warm_start_quality():
     assert abs(xs[-1, 2] - 3.5) < 0.15, xs[-1, 0:3]
 
 
+@pytest.mark.slow
 def test_jacobian_reuse_closed_loop():
     """Jacobian-reuse ticks (refresh every 4th) track like full ticks —
     the reference's sim_method_jac_reuse made TPU-native."""

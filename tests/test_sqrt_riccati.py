@@ -8,6 +8,7 @@ the backend — see qp/condense.py's sqrt flag).
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from mpc_blaster_tpu.qp.riccati import riccati_factorize, riccati_solve_rhs
 from mpc_blaster_tpu.qp.smallalg import chol_factor
@@ -67,6 +68,7 @@ def test_box_qp_sqrt_backend_matches_scan():
                                atol=1e-8)
 
 
+@pytest.mark.slow
 def test_box_qp_sqrt_backend_f32_accuracy():
     """On the blaster sim-preset cold-transient QP, the f32 'sqrt' backend
     must converge and be no less accurate than 'scan' (measured: ~21%

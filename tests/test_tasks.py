@@ -1,6 +1,7 @@
 """Task library: figure-8 tracking, blasting with live POC Jacobians."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from mpc_blaster_tpu import config as cfg
 from mpc_blaster_tpu.sim.tasks import figure8_refs, run_blasting, run_figure8
@@ -55,6 +56,7 @@ def test_run_preset_with_poc_pipeline():
     assert np.abs(xs[:, 14:17]).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_online_poc_relinearization():
     """poc_mode='online' (beyond-reference): re-linearize POC every tick;
     runs stably and keeps the POC states evolving."""
@@ -70,6 +72,7 @@ def test_online_poc_relinearization():
     assert d.max() > 1e-3
 
 
+@pytest.mark.slow
 def test_blast_scan_true_poc_showcase():
     """The flagship demo (descend-while-washing): under the reference's
     exact configuration — POC Jacobians frozen at the canonical pose AND
