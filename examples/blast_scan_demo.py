@@ -40,7 +40,8 @@ from mpc_blaster_tpu.sim.tasks import run_blast_scan  # noqa: E402
 def main():
     dtype = jnp.float32 if jax.devices()[0].platform == "tpu" \
         else jnp.float64
-    kw = dict(n_steps=360, dtype=dtype, z_end=1.5, t_ramp_s=6.0)
+    # 1260 ticks = 42 s = one full lemniscate period after the descent
+    kw = dict(n_steps=1260, dtype=dtype, z_end=1.5, t_ramp_s=6.0)
     configs = {
         "reference-config": dict(poc_mode="frozen", plant_poc="linear",
                                  frozen_at="canonical"),
