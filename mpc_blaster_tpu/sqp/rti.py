@@ -353,10 +353,43 @@ def sqp_solve(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
               iters: int = 10):
     """Multi-iteration SQP at fixed x0 (acados `SQP` mode semantics:
     `nlp_solver_max_iter` full Gauss-Newton steps, `blastermodel.py` JSON).
-    Returns the converged iterate + per-iteration step norms."""
-    def body(st, _):
-        _, st_new, diag = rti_step(spec, st, x0, params, F, solver)
-        return st_new, diag.step_norm_u
+    Returns the best iterate by L1 exact-penalty merit + per-iteration
+    step norms.
 
-    state, step_norms = jax.lax.scan(body, state, None, length=iters)
-    return state, step_norms
+    BEST-ITERATE SELECTION (same philosophy as the inner IPM): in f32,
+    full-step Gauss-Newton on states pinned at their velocity/omega
+    bounds limit-cycles — the QP's f32 noise in the near-free gimbal
+    subspace (R_swivel*dt ~ 3e-7) proposes ~10 N bang-bang steps that
+    cost nothing, so the LAST iterate is a lottery (measured: f64
+    contracts to 1e-9 in 5 iterations on the same problem, f32 bounces
+    at step-norm ~10 forever). Tracking the best L1-merit iterate
+    (true cost + 1e4 * |dynamics defect|_1, an exact penalty above the
+    multiplier scale) makes ANY iteration budget safe — the deep-budget
+    analog of the reference's qp_solver_iter_max=500 never returns a
+    worse answer than it has seen. acados' own default is FIXED_STEP
+    (no globalization); in its f64-only world that converges."""
+    from mpc_blaster_tpu.ocp.spec import total_cost
+
+    def defect_l1(st):
+        xs_next = jax.vmap(lambda x, u, p: F(x, u, p, params))(
+            st.xbar[:-1], st.ubar, spec.stage_params)
+        d = jnp.sum(jnp.abs(xs_next - st.xbar[1:]))
+        return d + jnp.sum(jnp.abs(st.xbar[0] - x0))
+
+    def merit(st):
+        return total_cost(spec, st.xbar, st.ubar) + 1e4 * defect_l1(st)
+
+    def body(carry, _):
+        st, best, best_m = carry
+        _, st_new, diag = rti_step(spec, st, x0, params, F, solver)
+        m = merit(st_new)
+        better = m < best_m
+        best = jax.tree.map(lambda n, b: jnp.where(better, n, b),
+                            st_new, best)
+        best_m = jnp.where(better, m, best_m)
+        return (st_new, best, best_m), diag.step_norm_u
+
+    m0 = merit(state)
+    (_, best, _), step_norms = jax.lax.scan(
+        body, (state, state, m0), None, length=iters)
+    return best, step_norms
