@@ -165,23 +165,26 @@ def main():
     from mpc_blaster_tpu.sim.closedloop import make_closed_loop
     qp_backend = "pallas" if pallas_available() else "riccati"
     rt_hz = {}
-    for iters in (6, 4):
-        log(f"bench: compiling rt{iters} ({qp_backend}) latency loop")
+    for iters, jr in ((6, 1), (4, 1), (4, 4)):
+        key = f"{iters}jr{jr}" if jr > 1 else iters
+        log(f"bench: compiling rt{key} ({qp_backend}) latency loop")
         ocp_rt = dataclasses.replace(
             ocp, solver=dataclasses.replace(ocp.solver, ipm_iters=iters,
                                             qp_backend=qp_backend))
-        rt_runner = make_closed_loop(ocp_rt, K2, dtype=dtype)
+        rt_runner = make_closed_loop(ocp_rt, K2, dtype=dtype,
+                                     jac_refresh=jr)
         lat_w = _timeit(lambda: rt_runner(spec, x0s[0]), reps=3) / K2
-        rt_hz[iters] = 1e3 / (lat_w * 1e3)
-        log(f"bench: rt{iters} = {lat_w * 1e3:.3f} ms "
-            f"({rt_hz[iters]:.0f} Hz)")
+        rt_hz[key] = 1e3 / (lat_w * 1e3)
+        log(f"bench: rt{key} = {lat_w * 1e3:.3f} ms "
+            f"({rt_hz[key]:.0f} Hz)")
     rt_ms = 1e3 / rt_hz[6]
 
     # ---- control quality of the deployed config: figure-8 tracking ----
-    log("bench: figure-8 tracking with the deployed rt6 config")
+    log("bench: figure-8 tracking with the deployed rt configs")
     from mpc_blaster_tpu.sim.tasks import run_figure8
     fig8 = {}
-    for iters, backend in ((6, qp_backend), (12, "riccati")):
+    for iters, backend in ((6, qp_backend), (4, qp_backend),
+                           (12, "riccati")):
         ocp_f = dataclasses.replace(
             ocp, solver=dataclasses.replace(ocp.solver, ipm_iters=iters,
                                             qp_backend=backend))
@@ -232,7 +235,9 @@ def main():
         "rt6_solve_p50_ms": round(rt_ms, 3),
         "rt6_solve_hz": round(rt_hz[6], 1),
         "rt4_solve_hz": round(rt_hz[4], 1),
+        "rt4jr4_solve_hz": round(rt_hz["4jr4"], 1),
         "fig8_rt6_settle_err_m": round(fig8[6], 4),
+        "fig8_rt4_settle_err_m": round(fig8[4], 4),
         "fig8_cold12_settle_err_m": round(fig8[12], 4),
         "n60_xla_solves_per_s": round(results.get("n60_xla") or 0.0, 1),
         "n60_pallas_solves_per_s": round(results.get("n60_pallas") or 0.0,

@@ -238,3 +238,25 @@ def test_jacobian_reuse_closed_loop():
     # both loops reach the same neighborhood of the climb trajectory
     assert abs(xf[2] - xr[2]) < 0.1, (xf[0:3], xr[0:3])
     assert np.abs(xr[3:6]).max() < 0.2
+
+
+def test_closed_loop_jac_refresh_mode():
+    """closed_loop(jac_refresh=4) — the deployed latency composition —
+    matches the per-tick-linearized loop on the hover transient."""
+    import dataclasses
+    from mpc_blaster_tpu.sim.closedloop import make_closed_loop
+
+    preset = cfg.simulation_preset()
+    ocp = dataclasses.replace(preset.ocp, N=20, Tf=20 / 30.0)
+    spec = build_spec(ocp, yref=preset.loop.yref, dtype=DTYPE)
+    x0 = jnp.asarray(preset.loop.x0, DTYPE)
+    ref = make_closed_loop(ocp, 40, dtype=DTYPE)(spec, x0)
+    jr = make_closed_loop(ocp, 40, dtype=DTYPE, jac_refresh=4)(spec, x0)
+    assert np.isfinite(np.asarray(jr.xs)).all()
+    # exact defects keep the loops glued: cm-level over the transient
+    np.testing.assert_allclose(np.asarray(jr.xs[:, 0:6]),
+                               np.asarray(ref.xs[:, 0:6]), atol=2e-2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_closed_loop(ocp, 4, dtype=DTYPE, jac_refresh=4,
+                         warm_start=True)(spec, x0)
