@@ -179,6 +179,24 @@ def main():
             f"({rt_hz[key]:.0f} Hz)")
     rt_ms = 1e3 / rt_hz[6]
 
+    # ---- flagship single-trajectory latency: N=60 deployed tick ----
+    # The reference's own real-time configuration is the N=60 sim preset
+    # at a 33.3 ms budget; this is the full-stack tick (linearize + fully
+    # HBM-streamed Pallas IPM + update) at that horizon.
+    try:
+        log(f"bench: compiling rt6 N=60 ({qp_backend}) latency loop")
+        ocp60_rt = dataclasses.replace(
+            ocp60, solver=dataclasses.replace(
+                ocp60.solver, ipm_iters=6, qp_backend=qp_backend))
+        rt60 = make_closed_loop(ocp60_rt, 16, dtype=dtype)
+        lat60 = _timeit(lambda: rt60(spec60, x0s[0]), reps=3) / 16
+        rt_hz["n60"] = 1.0 / lat60
+        log(f"bench: rt6 N=60 = {lat60 * 1e3:.3f} ms "
+            f"({rt_hz['n60']:.0f} Hz)")
+    except Exception as e:  # pragma: no cover
+        rt_hz["n60"] = 0.0
+        log(f"bench: rt6 N=60 FAILED: {e}")
+
     # ---- control quality of the deployed config: figure-8 tracking ----
     log("bench: figure-8 tracking with the deployed rt configs")
     from mpc_blaster_tpu.sim.tasks import run_figure8
@@ -236,6 +254,7 @@ def main():
         "rt6_solve_hz": round(rt_hz[6], 1),
         "rt4_solve_hz": round(rt_hz[4], 1),
         "rt4jr4_solve_hz": round(rt_hz["4jr4"], 1),
+        "rt6_n60_solve_hz": round(rt_hz.get("n60", 0.0), 1),
         "fig8_rt6_settle_err_m": round(fig8[6], 4),
         "fig8_rt4_settle_err_m": round(fig8[4], 4),
         "fig8_cold12_settle_err_m": round(fig8[12], 4),

@@ -33,6 +33,31 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.asarray(state.ubar))
 
 
+def test_checkpoint_orbax_sharded_roundtrip(tmp_path):
+    """Orbax path: save/restore a SHARDED global array onto its mesh —
+    the pod-scale sweep resume (single .npz can't do per-host shards)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mpc_blaster_tpu.utils.checkpoint import (load_pytree_orbax,
+                                                  save_pytree_orbax)
+
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("dp",))
+    sharding = NamedSharding(mesh, P("dp"))
+    x = jax.device_put(jnp.arange(16.0).reshape(16, 1) * 3.0, sharding)
+    tree = {"x": x, "step": jnp.asarray(7)}
+    path = str(tmp_path / "orbax_ckpt")
+    save_pytree_orbax(path, tree)
+
+    like = {"x": jax.device_put(jnp.zeros((16, 1)), sharding),
+            "step": jnp.asarray(0)}
+    restored = load_pytree_orbax(path, like)
+    assert restored["x"].sharding == sharding
+    np.testing.assert_allclose(np.asarray(restored["x"]), np.asarray(x))
+    assert int(restored["step"]) == 7
+
+
 def test_metrics_summary_healthy():
     class R:
         xs = np.zeros((11, 17))
