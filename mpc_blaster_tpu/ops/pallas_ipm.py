@@ -701,6 +701,17 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     Q[:, N]; R identical across stages; f32. Bounds may be +-inf (handled
     via in-kernel masks, same semantics as `qp/ipm.py`).
 
+    Per-stage Q/R is intentionally OUT of kernel scope (a design decision,
+    not a TODO): no supported QP producer emits it — the RTI's LINEAR_LS
+    cost is stage-invariant by construction (one W for every stage,
+    `blastermodel.py:244-245`), and condensed QPs, the only per-stage-cost
+    producer in the framework, also need cross terms S and dense general
+    constraints, which are served by the square-root backend
+    (`qp/sqrt_riccati.py`) instead. Generalizing would cost either
+    ~N*nx^2*LANES VMEM (per-lane stage Hessians: ~8.9 MB at N=60 — over
+    half the budget) or another HBM stream for data that is constant in
+    every real workload.
+
     stream_p / stream_big: None picks by horizon — beyond ~N=20 the
     VMEM-resident P (stream_p) and then the A/B record plus Z gains
     (stream_big) no longer fit the 16 MB budget and are streamed through

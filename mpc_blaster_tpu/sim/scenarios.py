@@ -63,9 +63,22 @@ def _windy_plant_ode(x, u, p, params, wind):
 
 def disturbance_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
                       scenarios: ScenarioBatch, n_steps: int = 120,
-                      dtype=jnp.float32) -> SweepResult:
+                      dtype=jnp.float32,
+                      offset_free: bool = False,
+                      observer_gain: float = 0.5) -> SweepResult:
     """Closed loop per scenario: controller is blind to the wind and the
-    per-scenario target enters through yref. Fully vmapped; jit once."""
+    per-scenario target enters through yref. Fully vmapped; jit once.
+
+    offset_free=True turns on offset-free MPC (Pannocchia/Rawlings-style
+    constant-disturbance observer — beyond-reference; the reference has
+    no state feedback at all in flight, SURVEY.md §3.4): each tick the
+    velocity prediction residual innovates an acceleration-disturbance
+    estimate d, and the controller's prediction model becomes
+    v_dot + d — the NMPC then plans against the estimated wind and the
+    steady-state offset vanishes. The estimator runs inside the scan on
+    device; the QP sees it only through the linearization (defects), so
+    no solver surface changes.
+    """
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     solver = ocp.solver
@@ -76,20 +89,36 @@ def disturbance_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
             lambda xx, uu, pp, par: _windy_plant_ode(xx, uu, pp, par, wind),
             ocp.dt, num_steps=1)(x, u, plant_p, params)
 
+    def ctrl_F(d_est):
+        """Controller prediction model with the disturbance estimate."""
+        return discrete_dynamics(
+            lambda xx, uu, pp, par: _windy_plant_ode(xx, uu, pp, par,
+                                                     d_est),
+            ocp.dt, num_steps=1)
+
     def one(x0, wind, target):
         spec_i = spec._replace(
             yref_x=spec.yref_x.at[:, 0:3].set(target[None, :]),
             yref_e=spec.yref_e.at[0:3].set(target))
         st0 = init_rti_state(ocp, x0, dtype)
+        d0 = jnp.zeros(3, dtype)
 
         def tick(carry, _):
-            st, x = carry
-            u0, st, diag = rti_step(spec_i, st, x, params, F, solver)
+            st, x, d_est, v_pred = carry
+            if offset_free:
+                # innovation: the part of v_dot the model didn't predict
+                d_est = d_est + observer_gain * (x[6:9] - v_pred) / ocp.dt
+                F_c = ctrl_F(d_est)
+            else:
+                F_c = F
+            u0, st, diag = rti_step(spec_i, st, x, params, F_c, solver)
             x_next = plant(x, u0, wind)
-            return (st, x_next), diag.qp_kkt_eq
+            v_pred_next = F_c(x, u0, plant_p, params)[6:9]
+            return (st, x_next, d_est, v_pred_next), diag.qp_kkt_eq
 
-        (_, x_fin), eqs = jax.lax.scan(tick, (st0, x0), None,
-                                       length=n_steps)
+        # seed v_pred with the measured v: zero innovation at tick 0
+        (_, x_fin, _, _), eqs = jax.lax.scan(
+            tick, (st0, x0, d0, x0[6:9]), None, length=n_steps)
         err = jnp.linalg.norm(x_fin[0:3] - target)
         return x_fin, err, jnp.max(eqs)
 

@@ -26,6 +26,23 @@ def test_sweep_settles_under_wind():
     assert np.asarray(res.worst_kkt_eq).max() < 1e-3
 
 
+@pytest.mark.slow
+def test_offset_free_rejects_wind():
+    """Offset-free MPC (constant-disturbance observer, beyond-reference):
+    the same wind sweep that leaves the integral-free controller with
+    ~0.2-0.4 m steady offsets settles EVERY scenario to mm level once the
+    velocity-residual observer feeds the prediction model (measured:
+    4/8 settled, 0.41 m max -> 8/8, 0.003 m max)."""
+    preset = cfg.simulation_preset()
+    spec = build_spec(preset.ocp, yref=preset.loop.yref, dtype=DTYPE)
+    scen = sample_scenarios(batch=8, seed=1, wind_max=0.8)
+    res = disturbance_sweep(spec, preset.ocp, scen, n_steps=150,
+                            dtype=DTYPE, offset_free=True)
+    errs = np.asarray(res.pos_err)
+    assert bool(np.asarray(res.settled).all()), errs
+    assert errs.max() < 0.02, errs
+
+
 def test_scenarios_reproducible():
     a = sample_scenarios(batch=4, seed=7)
     b = sample_scenarios(batch=4, seed=7)
