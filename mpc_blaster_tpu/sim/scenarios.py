@@ -61,6 +61,84 @@ def _windy_plant_ode(x, u, p, params, wind):
     return xdot.at[cfg.IDX_V].add(wind)
 
 
+def _disturbed_ode(x, u, p, params, d_v, d_w):
+    """Controller-side disturbance model: force (v_dot) + torque
+    (omega_dot) acceleration offsets — the 6-channel observer target."""
+    xdot = blaster_ode(x, u, p, params)
+    return xdot.at[cfg.IDX_V].add(d_v).at[9:12].add(d_w)
+
+
+def fault_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
+                derate: jnp.ndarray, n_steps: int = 150,
+                dtype=jnp.float32, offset_free: bool = False,
+                observer_gain: float = 0.5,
+                hover=(0.0, 0.0, 3.5)) -> SweepResult:
+    """Fault injection + elastic recovery (SURVEY.md §5: the reference's
+    only failure handling is raising on a bad integrator status).
+
+    derate: (B, 4) per-scenario rotor effectiveness in (0, 1] — the plant
+    multiplies each rotor's commanded thrust by it (partial actuator
+    failure); the controller is NOT told. offset_free=True runs the same
+    constant-disturbance observer as `disturbance_sweep`: a thrust
+    deficit shows up as an unmodeled acceleration, the observer folds it
+    into the prediction model, and the NMPC re-trims the healthy rotors —
+    recovery without fault identification.
+
+    The observer here is SIX-channel (force + torque): a derated rotor
+    produces both a thrust deficit and a constant moment imbalance, so
+    v_dot AND omega_dot residuals innovate their own estimates and both
+    enter the prediction model. The force-only observer of
+    `disturbance_sweep` stabilizes symmetric deratings but diverges on a
+    30% single-rotor loss (measured: 5.6 m drift) — the torque channels
+    are what make single-rotor faults recoverable.
+    """
+    params = BlasterParams.from_config(ocp.model, dtype)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    solver = ocp.solver
+    plant_p = spec.stage_params[0].at[-1].set(2.2 * 9.81)
+    target = jnp.asarray(hover, dtype)
+
+    def plant(x, u, dr):
+        u_eff = u.at[0:4].multiply(dr)
+        return F(x, u_eff, plant_p, params)
+
+    def ctrl_F(d_v, d_w):
+        return discrete_dynamics(
+            lambda xx, uu, pp, par: _disturbed_ode(xx, uu, pp, par,
+                                                   d_v, d_w),
+            ocp.dt, num_steps=1)
+
+    def one(dr):
+        x0 = jnp.zeros(cfg.NX, dtype).at[0:3].set(target)
+        spec_i = spec._replace(
+            yref_x=spec.yref_x.at[:, 0:3].set(target[None, :]),
+            yref_e=spec.yref_e.at[0:3].set(target))
+        st0 = init_rti_state(ocp, x0, dtype)
+        d0 = jnp.zeros(3, dtype)
+
+        def tick(carry, _):
+            st, x, d_v, d_w, vw_pred = carry
+            if offset_free:
+                d_v = d_v + observer_gain * (x[6:9] - vw_pred[0:3]) / ocp.dt
+                d_w = d_w + observer_gain * (x[9:12] - vw_pred[3:6]) / ocp.dt
+                F_c = ctrl_F(d_v, d_w)
+            else:
+                F_c = F
+            u0, st, diag = rti_step(spec_i, st, x, params, F_c, solver)
+            x_next = plant(x, u0, dr)
+            pred = F_c(x, u0, plant_p, params)
+            return (st, x_next, d_v, d_w, pred[6:12]), diag.qp_kkt_eq
+
+        (_, x_fin, _, _, _), eqs = jax.lax.scan(
+            tick, (st0, x0, d0, d0, x0[6:12]), None, length=n_steps)
+        err = jnp.linalg.norm(x_fin[0:3] - target)
+        return x_fin, err, jnp.max(eqs)
+
+    finals, errs, kkts = jax.jit(jax.vmap(one))(jnp.asarray(derate, dtype))
+    return SweepResult(final_states=finals, pos_err=errs,
+                       worst_kkt_eq=kkts, settled=errs < 0.25)
+
+
 def disturbance_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
                       scenarios: ScenarioBatch, n_steps: int = 120,
                       dtype=jnp.float32,

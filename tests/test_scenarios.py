@@ -43,6 +43,37 @@ def test_offset_free_rejects_wind():
     assert errs.max() < 0.02, errs
 
 
+@pytest.mark.slow
+def test_fault_injection_elastic_recovery():
+    """Fault injection + elastic recovery (SURVEY.md §5): an unannounced
+    30% single-rotor derating diverges under the blind controller (~5.6 m
+    drift, measured) but recovers to mm-level hover once the six-channel
+    (force+torque) disturbance observer feeds the prediction model —
+    fault tolerance without fault identification."""
+    from mpc_blaster_tpu.sim.scenarios import fault_sweep
+
+    preset = cfg.simulation_preset()
+    spec = build_spec(preset.ocp, yref=preset.loop.yref, dtype=DTYPE)
+    derate = np.array([
+        [1.0, 1.0, 1.0, 1.0],     # healthy
+        [0.8, 0.8, 0.8, 0.8],     # symmetric 20% loss
+        [0.7, 1.0, 1.0, 1.0],     # single rotor at 70%
+        [0.85, 0.85, 1.0, 1.0],   # one arm weak
+    ])
+    blind = fault_sweep(spec, preset.ocp, derate, n_steps=150,
+                        dtype=DTYPE, offset_free=False)
+    rec = fault_sweep(spec, preset.ocp, derate, n_steps=150,
+                      dtype=DTYPE, offset_free=True)
+    blind_errs = np.asarray(blind.pos_err)
+    rec_errs = np.asarray(rec.pos_err)
+    # the single-rotor fault defeats the blind controller...
+    assert blind_errs[2] > 1.0, blind_errs
+    # ...and every fault recovers with the observer
+    assert np.isfinite(np.asarray(rec.final_states)).all()
+    assert rec_errs.max() < 0.02, rec_errs
+    assert bool(np.asarray(rec.settled).all())
+
+
 def test_scenarios_reproducible():
     a = sample_scenarios(batch=4, seed=7)
     b = sample_scenarios(batch=4, seed=7)
