@@ -23,3 +23,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite's wall time is dominated by XLA
+# CPU compiles of the same graphs every run (the box has 2 vCPUs). Keyed by
+# HLO hash, so code changes invalidate exactly the affected entries; repeat
+# runs skip straight to execution.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_cpu_tests"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
