@@ -133,6 +133,12 @@ class SolverConfig:
     # associative-scan factor+solve, latency/sharded-horizon oriented) or
     # "hybrid" (sequential factorization + parallel-scan RHS solves).
     riccati: str = "scan"
+    # Linearization backend: "jacfwd" = vmapped jax.jacfwd of the RK4 map
+    # (acados forward-sensitivity ERK analog); "fused" = component-form
+    # RK4+jvp with zero small matmuls (`dynamics/fastlin.py`) — same
+    # numbers, fewer XLA ops, built for the B=1 latency loop where the
+    # jacfwd path is dispatch-bound.
+    lin_backend: str = "jacfwd"
     tol_stat: float = 1e-6
     tol_eq: float = 1e-6
     tol_ineq: float = 1e-6

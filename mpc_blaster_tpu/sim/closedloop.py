@@ -76,6 +76,8 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     F_plant = discrete_dynamics(blaster_ode, ocp.dt, num_steps=plant_substeps)
     solver = ocp.solver
+    from mpc_blaster_tpu.sqp.rti import make_linearizer
+    lin = make_linearizer(ocp, params, num_steps=1)
     x0 = jnp.asarray(x0, dtype)
     if plant_params is None:
         # `simulation_blaster.py:82-84`: plant uses the controller's stage-0
@@ -115,7 +117,7 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
             state, warm, x = carry
             spec_t = spec._replace(stage_params=stage_params_for(x))
             u0, state_new, warm_new, diag = rti_step_warm(
-                spec_t, state, warm, x, params, F, solver)
+                spec_t, state, warm, x, params, F, solver, linearizer=lin)
             x_next = F_plant(x, u0, plant_params, params)
             cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
             out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
@@ -138,7 +140,8 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
             spec_t = spec._replace(stage_params=stage_params_for(x))
             refresh = (k % jac_refresh) == 0
             u0, state_new, cache, diag = rti_step_jacreuse(
-                spec_t, state, cache, refresh, x, params, F, solver)
+                spec_t, state, cache, refresh, x, params, F, solver,
+                linearizer=lin)
             x_next = F_plant(x, u0, plant_params, params)
             cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
             out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
@@ -151,7 +154,7 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
             state, x = carry
             spec_t = spec._replace(stage_params=stage_params_for(x))
             u0, state_new, diag = rti_step(spec_t, state, x, params, F,
-                                           solver)
+                                           solver, linearizer=lin)
             x_next = F_plant(x, u0, plant_params, params)
             cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
             out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)

@@ -100,11 +100,33 @@ def _linearize_nodes(F, xbar, ubar, stage_params, params):
     return jax.vmap(FAB)(xbar[:-1], ubar, stage_params)
 
 
+def make_linearizer(ocp: cfg.OCPConfig, params: BlasterParams,
+                    num_steps: int = 1):
+    """Resolve `solver.lin_backend` to a `linearizer` hook (or None for the
+    default jacfwd path). Validates the static string at trace time."""
+    lb = ocp.solver.lin_backend
+    if lb == "fused":
+        from mpc_blaster_tpu.dynamics.fastlin import make_fused_linearizer
+        return make_fused_linearizer(ocp, params, num_steps)
+    if lb != "jacfwd":
+        raise ValueError(f"unknown lin_backend {lb!r} "
+                         "(expected 'jacfwd' or 'fused')")
+    return None
+
+
 def build_qp(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
-             F, params: BlasterParams) -> QPData:
-    """Linearize dynamics + cost around the iterate -> delta-form QP."""
+             F, params: BlasterParams, linearizer=None) -> QPData:
+    """Linearize dynamics + cost around the iterate -> delta-form QP.
+
+    `linearizer`, when given, replaces the jacfwd `_linearize_nodes` with a
+    `(xbar, ubar, stage_params) -> (x_next, A, B)` callable (the fused
+    component-form backend, `dynamics/fastlin.py`)."""
     xbar, ubar = state.xbar, state.ubar
-    x_pred, A, B = _linearize_nodes(F, xbar, ubar, spec.stage_params, params)
+    if linearizer is not None:
+        x_pred, A, B = linearizer(xbar, ubar, spec.stage_params)
+    else:
+        x_pred, A, B = _linearize_nodes(F, xbar, ubar, spec.stage_params,
+                                        params)
     c = x_pred - xbar[1:]                       # shooting defects
 
     dtw = spec.dt
@@ -165,10 +187,11 @@ def solve_qp_backend(qp: QPData, solver: cfg.SolverConfig, warm=None):
 
 
 def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
-             params: BlasterParams, F, solver: cfg.SolverConfig
+             params: BlasterParams, F, solver: cfg.SolverConfig,
+             linearizer=None
              ) -> Tuple[jnp.ndarray, RTIState, RTIDiagnostics]:
     """One real-time iteration. Returns (u0, updated iterate, diagnostics)."""
-    qp = build_qp(spec, state, x0, F, params)
+    qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
     sol = solve_qp_backend(qp, solver)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
@@ -194,7 +217,7 @@ class JacCache(NamedTuple):
 
 def build_qp_jacreuse(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
                       F, params: BlasterParams, cache: JacCache,
-                      refresh) -> tuple:
+                      refresh, linearizer=None) -> tuple:
     """build_qp with optional Jacobian reuse (the reference's
     `sim_method_jac_reuse` option, JSON `sim_method_jac_reuse=[0]*60`).
 
@@ -208,6 +231,8 @@ def build_qp_jacreuse(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     xbar, ubar = state.xbar, state.ubar
 
     def full(_):
+        if linearizer is not None:
+            return linearizer(xbar, ubar, spec.stage_params)
         return _linearize_nodes(F, xbar, ubar, spec.stage_params, params)
 
     def reuse(cache):
@@ -239,9 +264,10 @@ def build_qp_jacreuse(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
 
 def rti_step_jacreuse(spec: OCPSpec, state: RTIState, cache: JacCache,
                       refresh, x0: jnp.ndarray, params: BlasterParams, F,
-                      solver: cfg.SolverConfig):
+                      solver: cfg.SolverConfig, linearizer=None):
     """RTI tick with Jacobian reuse. Returns (u0, state, cache, diag)."""
-    qp, cache = build_qp_jacreuse(spec, state, x0, F, params, cache, refresh)
+    qp, cache = build_qp_jacreuse(spec, state, x0, F, params, cache, refresh,
+                                  linearizer=linearizer)
     sol = solve_qp_backend(qp, solver)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
@@ -254,7 +280,8 @@ def rti_step_jacreuse(spec: OCPSpec, state: RTIState, cache: JacCache,
 
 
 def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
-                  params: BlasterParams, F, solver: cfg.SolverConfig):
+                  params: BlasterParams, F, solver: cfg.SolverConfig,
+                  linearizer=None):
     """RTI tick with slack/dual warm starting (HPIPM warm_start=1 analog).
 
     Returns (u0, new_state, warm_out, diag). Pass `warm_out` into the next
@@ -271,7 +298,7 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
     """
     from mpc_blaster_tpu.qp.ipm import warm_start_from
 
-    qp = build_qp(spec, state, x0, F, params)
+    qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
     sol = solve_qp_backend(qp, solver, warm=warm)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
@@ -341,9 +368,10 @@ def make_rti_step(ocp: cfg.OCPConfig, dtype=jnp.float32, num_steps: int = 1,
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=num_steps)
     solver = ocp.solver
+    lin = make_linearizer(ocp, params, num_steps=num_steps)
 
     def step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray):
-        return rti_step(spec, state, x0, params, F, solver)
+        return rti_step(spec, state, x0, params, F, solver, linearizer=lin)
 
     return jax.jit(step) if jit else step
 

@@ -93,8 +93,28 @@ def main():
         t = timeit(lambda: qp_chain(qp0))
         print(f"{name:14s} = {t:.3f} ms", flush=True)
 
+    # ---- fused component-form linearizer (dynamics/fastlin.py) ----
+    from mpc_blaster_tpu.dynamics.fastlin import fast_linearize
+
+    @jax.jit
+    def flin_chain(xbar, ubar, sp):
+        def body(carry, _):
+            xb = carry
+            xn, A, B = fast_linearize(xb, ubar, sp, params, ocp.dt)
+            xb = xb + 1e-9 * jnp.sum(xn)
+            return xb, xn[0, 0]
+        _, ys = jax.lax.scan(body, xbar, None, length=K)
+        return ys
+
+    print("compiling fastlin...", flush=True)
+    t = timeit(lambda: flin_chain(st.xbar, st.ubar, spec.stage_params))
+    print(f"fastlin        = {t:.3f} ms", flush=True)
+
     # ---- full deployed tick ----
-    for name, solv in (("tick_pallas", sol_rt6), ("tick_xla", sol_rt6x)):
+    sol_rt6f = dataclasses.replace(sol_rt6, lin_backend="fused")
+    for name, solv in (("tick_pallas", sol_rt6),
+                       ("tick_pallas_flin", sol_rt6f),
+                       ("tick_xla", sol_rt6x)):
         ocp_rt = dataclasses.replace(ocp, solver=solv)
         runner = make_closed_loop(ocp_rt, K, dtype=dtype)
         print(f"compiling {name}...", flush=True)
