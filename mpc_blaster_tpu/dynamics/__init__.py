@@ -4,6 +4,10 @@ from mpc_blaster_tpu.dynamics.blaster import (  # noqa: F401
     pack_stage_params,
     unpack_stage_params,
 )
+from mpc_blaster_tpu.dynamics.fastlin import (  # noqa: F401
+    fast_linearize,
+    make_fused_linearizer,
+)
 from mpc_blaster_tpu.dynamics.integrators import (  # noqa: F401
     discrete_dynamics,
     discrete_jacobians,

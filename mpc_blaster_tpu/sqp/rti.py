@@ -312,7 +312,7 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
 
 def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
                   params: BlasterParams, F, solver: cfg.SolverConfig,
-                  soft):
+                  soft, linearizer=None):
     """RTI tick with soft (slacked) state bounds — the acados ns>0 analog
     (`qp/soft.py`). Use when disturbances can push the state outside the
     hard box (the sim preset's position box is ±1.5 m,
@@ -325,7 +325,7 @@ def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     """
     from mpc_blaster_tpu.qp.soft import soft_box_qp_solve
 
-    qp = build_qp(spec, state, x0, F, params)
+    qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
     res = soft_box_qp_solve(qp, soft, iters=solver.ipm_iters,
                             mu0=solver.ipm_mu0,
                             alpha_frac=solver.ipm_alpha_frac,
@@ -378,7 +378,7 @@ def make_rti_step(ocp: cfg.OCPConfig, dtype=jnp.float32, num_steps: int = 1,
 
 def sqp_solve(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
               params: BlasterParams, F, solver: cfg.SolverConfig,
-              iters: int = 10):
+              iters: int = 10, linearizer=None):
     """Multi-iteration SQP at fixed x0 (acados `SQP` mode semantics:
     `nlp_solver_max_iter` full Gauss-Newton steps, `blastermodel.py` JSON).
     Returns the best iterate by L1 exact-penalty merit + per-iteration
@@ -409,7 +409,8 @@ def sqp_solve(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
 
     def body(carry, _):
         st, best, best_m = carry
-        _, st_new, diag = rti_step(spec, st, x0, params, F, solver)
+        _, st_new, diag = rti_step(spec, st, x0, params, F, solver,
+                                   linearizer=linearizer)
         m = merit(st_new)
         better = m < best_m
         best = jax.tree.map(lambda n, b: jnp.where(better, n, b),

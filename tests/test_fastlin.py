@@ -84,6 +84,28 @@ def test_fastlin_closed_loop_parity():
     np.testing.assert_allclose(res1.us, res0.us, rtol=1e-5, atol=1e-6)
 
 
+def test_fastlin_vmappable():
+    """The batched/sharded paths vmap rti_step over trajectories; the fused
+    linearizer's repeat/tile layout must map cleanly under vmap."""
+    dtype = jnp.float64
+    preset = cfg.simulation_preset()
+    params = BlasterParams.from_config(preset.ocp.model, dtype)
+    dt = preset.ocp.dt
+
+    xb0, ub0, sp = _rand_inputs(6, dtype, seed=1)
+    xb1, ub1, _ = _rand_inputs(6, dtype, seed=2)
+    xbs = jnp.stack([xb0, xb1])
+    ubs = jnp.stack([ub0, ub1])
+
+    xn_b, a_b, b_b = jax.vmap(
+        lambda xb, ub: fast_linearize(xb, ub, sp, params, dt))(xbs, ubs)
+    for i, (xb, ub) in enumerate(((xb0, ub0), (xb1, ub1))):
+        xn, a, b = fast_linearize(xb, ub, sp, params, dt)
+        np.testing.assert_allclose(xn_b[i], xn, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(a_b[i], a, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(b_b[i], b, rtol=1e-12, atol=1e-12)
+
+
 def test_fastlin_bad_backend_rejected():
     from mpc_blaster_tpu.sqp.rti import make_linearizer
 
