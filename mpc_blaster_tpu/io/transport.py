@@ -106,11 +106,27 @@ class UdpAttitudeAdapter:
     the newest pose as [p(3), euler-free quat-derived rpy? no —
     [x, y, z, qw, qx, qy, qz]] — the FlightNode consumes [p(3), eul(3)]
     so the quaternion is converted to ZYX Euler on the way out.
+
+    wire: "framed" (this module's compact framing, default),
+    "mavlink1" or "mavlink2" (`io/mavlink.py`) — the latter two speak the
+    real PX4 wire format: setpoints go out as `SET_ATTITUDE_TARGET` (#82)
+    with the MAVROS ENU/FLU->NED/FRD attitude conversion applied, and
+    telemetry is parsed from `LOCAL_POSITION_NED` (#32) +
+    `ATTITUDE_QUATERNION` (#31) streams (fused into pose records the way
+    MAVROS fuses `mavros/local_position/pose`).
     """
 
     def __init__(self, send_addr: Tuple[str, int],
                  recv_port: Optional[int] = None,
-                 ring_capacity: int = 256):
+                 ring_capacity: int = 256, wire: str = "framed"):
+        if wire not in ("framed", "mavlink1", "mavlink2"):
+            raise ValueError(f"unknown wire format {wire!r}")
+        self.wire = wire
+        if wire != "framed":
+            from mpc_blaster_tpu.io import mavlink as _mav
+            self._mav = _mav
+            self._parser = _mav.MavlinkParser()
+            self._last_att = np.array([1.0, 0.0, 0.0, 0.0])
         self.send_addr = send_addr
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.setblocking(False)
@@ -132,10 +148,22 @@ class UdpAttitudeAdapter:
         return self._sock.getsockname()[1]
 
     def publish(self, msg: AttitudeTarget) -> None:
-        self._sock.sendto(encode_attitude_target(msg, self.seq),
-                          self.send_addr)
+        if self.wire == "framed":
+            out = encode_attitude_target(msg, self.seq)
+        else:
+            out = self._mav.encode_set_attitude_target(
+                msg.orientation, msg.thrust, msg.type_mask, self.seq,
+                mavlink2=(self.wire == "mavlink2"))
+        self._sock.sendto(out, self.send_addr)
         self.seq += 1
         self.sent += 1
+
+    def _push_pose(self, stamp, p, q) -> None:
+        self.pose_frames += 1
+        if self._ring is not None:
+            self._ring.push(stamp, p, q)
+        else:
+            self._fallback.append((stamp, p, q))
 
     def _drain(self) -> None:
         while True:
@@ -143,6 +171,15 @@ class UdpAttitudeAdapter:
                 datagram, _ = self._sock.recvfrom(2048)
             except BlockingIOError:
                 return
+            if self.wire != "framed":
+                frames = self._parser.feed(datagram)
+                for kind, t, v in self._mav.decode_pose_messages(frames):
+                    if kind == "att":
+                        self._last_att = v
+                    else:  # position sample completes a pose record
+                        self._push_pose(t, v, self._last_att)
+                self.bad_frames = self._parser.bad_frames
+                continue
             parsed = _unframe(datagram)
             if parsed is None:
                 self.bad_frames += 1
@@ -151,11 +188,7 @@ class UdpAttitudeAdapter:
             if msg_id != MSG_POSE_STAMPED:
                 continue
             stamp, p, q = decode_pose(payload)
-            self.pose_frames += 1
-            if self._ring is not None:
-                self._ring.push(stamp, p, q)
-            else:
-                self._fallback.append((stamp, p, q))
+            self._push_pose(stamp, p, q)
 
     def measured_pose(self) -> Optional[np.ndarray]:
         self._drain()
@@ -180,9 +213,19 @@ class UdpEndpoint:
     """Vehicle/GCS-side counterpart: receives setpoints, sends telemetry.
 
     Used by the loopback integration test and as the seam for a SITL
-    bridge (decode frames -> MAVROS/PX4 of your choice)."""
+    bridge (decode frames -> MAVROS/PX4 of your choice). With
+    wire="mavlink1"/"mavlink2" it behaves as a minimal PX4-side peer:
+    receives SET_ATTITUDE_TARGET frames, emits LOCAL_POSITION_NED +
+    ATTITUDE_QUATERNION telemetry."""
 
-    def __init__(self, bind_port: int = 0):
+    def __init__(self, bind_port: int = 0, wire: str = "framed"):
+        if wire not in ("framed", "mavlink1", "mavlink2"):
+            raise ValueError(f"unknown wire format {wire!r}")
+        self.wire = wire
+        if wire != "framed":
+            from mpc_blaster_tpu.io import mavlink as _mav
+            self._mav = _mav
+            self._parser = _mav.MavlinkParser()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind(("127.0.0.1", bind_port))
         self._sock.settimeout(0.5)
@@ -200,9 +243,29 @@ class UdpEndpoint:
                   quat_wxyz) -> None:
         out = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
-            out.sendto(encode_pose(stamp, position, quat_wxyz, self.seq),
-                       addr)
-            self.seq += 1
+            if self.wire != "framed":
+                m = self._mav
+                mav2 = self.wire == "mavlink2"
+                t_ms = int(stamp * 1e3) & 0xFFFFFFFF
+                ned = m.enu_to_ned(position)
+                q = m.quat_flu_enu_to_frd_ned(quat_wxyz)
+                out.sendto(m.encode_frame(m.LOCAL_POSITION_NED, {
+                    "time_boot_ms": t_ms,
+                    "x": float(ned[0]), "y": float(ned[1]),
+                    "z": float(ned[2]),
+                    "vx": 0.0, "vy": 0.0, "vz": 0.0,
+                }, self.seq, mavlink2=mav2), addr)
+                out.sendto(m.encode_frame(m.ATTITUDE_QUATERNION, {
+                    "time_boot_ms": t_ms,
+                    "q1": float(q[0]), "q2": float(q[1]),
+                    "q3": float(q[2]), "q4": float(q[3]),
+                    "rollspeed": 0.0, "pitchspeed": 0.0, "yawspeed": 0.0,
+                }, self.seq + 1, mavlink2=mav2), addr)
+                self.seq += 2
+            else:
+                out.sendto(encode_pose(stamp, position, quat_wxyz,
+                                       self.seq), addr)
+                self.seq += 1
         finally:
             out.close()
 
@@ -214,6 +277,22 @@ class UdpEndpoint:
                 continue
             except OSError:
                 return
+            if self.wire != "framed":
+                m = self._mav
+                for fr in self._parser.feed(datagram):
+                    if fr.msg_id != m.SET_ATTITUDE_TARGET.msg_id:
+                        continue
+                    v = fr.values()
+                    # back to the controller's ENU/FLU convention for
+                    # apples-to-apples loopback assertions
+                    q = m.quat_frd_ned_to_flu_enu(v["q"])
+                    self.received.append((time.monotonic(), fr.seq,
+                                          AttitudeTarget(
+                                              type_mask=v["type_mask"],
+                                              orientation=q,
+                                              thrust=float(v["thrust"]))))
+                self.bad_frames = self._parser.bad_frames
+                continue
             parsed = _unframe(datagram)
             if parsed is None:
                 self.bad_frames += 1
