@@ -139,6 +139,12 @@ class SolverConfig:
     # numbers, fewer XLA ops, built for the B=1 latency loop where the
     # jacfwd path is dispatch-bound.
     lin_backend: str = "jacfwd"
+    # Pallas kernel HBM-streaming overrides (None = auto by horizon; see
+    # ops/pallas_ipm.py). Deployment tuning knobs: streaming trades VMEM
+    # footprint for per-stage DMA latency, so the fastest setting depends
+    # on N and on what else shares the chip.
+    pallas_stream_p: bool | None = None
+    pallas_stream_big: bool | None = None
     tol_stat: float = 1e-6
     tol_eq: float = 1e-6
     tol_ineq: float = 1e-6

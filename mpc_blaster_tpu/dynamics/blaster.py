@@ -86,6 +86,11 @@ def blaster_ode(x: jnp.ndarray, u: jnp.ndarray, p: jnp.ndarray,
 
     x: (17,) [p, eul, v, omega, alpha, poc]; u: (6,) [T1..T4, a1dot, a2dot];
     p: (25,) stage parameters (POC Jacobians + T_blast).
+
+    LOCKSTEP: `dynamics/fastlin.py::_ode_rows` is this same ODE hand-
+    expanded to elementwise row form for the fused linearizer — any model
+    change here must be mirrored there (the f64 parity tests in
+    tests/test_fastlin.py are the guard).
     """
     eul = x[cfg.IDX_EUL]
     v = x[cfg.IDX_V]

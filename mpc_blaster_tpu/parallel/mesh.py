@@ -62,15 +62,18 @@ def _batched_rti_step_pallas(ocp: cfg.OCPConfig, dtype=jnp.float32,
     from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
     from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
     from mpc_blaster_tpu.ops.pallas_ipm import pallas_box_qp_solve
-    from mpc_blaster_tpu.sqp.rti import RTIDiagnostics, build_qp
+    from mpc_blaster_tpu.sqp.rti import (RTIDiagnostics, build_qp,
+                                         make_linearizer)
 
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     solver = ocp.solver
+    lin = make_linearizer(ocp, params)
 
     def step(spec, states, x0s):
-        qps = jax.vmap(build_qp, in_axes=(None, 0, 0, None, None))(
-            spec, states, x0s, F, params)
+        qps = jax.vmap(
+            lambda st, x: build_qp(spec, st, x, F, params, linearizer=lin)
+        )(states, x0s)
         sol = pallas_box_qp_solve(qps, iters=solver.ipm_iters,
                                   mu0=solver.ipm_mu0,
                                   alpha_frac=solver.ipm_alpha_frac,

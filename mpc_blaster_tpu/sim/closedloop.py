@@ -73,11 +73,15 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
         raise ValueError("warm_start and jac_refresh are mutually "
                          "exclusive deployment modes")
     params = BlasterParams.from_config(ocp.model, dtype)
-    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    # The controller's integrator substep count feeds BOTH the forward map
+    # and the linearizer — one site so they can never desynchronize
+    # (acados uses 1 ERK step per shooting node: JSON sim_method_num_steps).
+    ctrl_substeps = 1
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=ctrl_substeps)
     F_plant = discrete_dynamics(blaster_ode, ocp.dt, num_steps=plant_substeps)
     solver = ocp.solver
     from mpc_blaster_tpu.sqp.rti import make_linearizer
-    lin = make_linearizer(ocp, params, num_steps=1)
+    lin = make_linearizer(ocp, params, num_steps=ctrl_substeps)
     x0 = jnp.asarray(x0, dtype)
     if plant_params is None:
         # `simulation_blaster.py:82-84`: plant uses the controller's stage-0
@@ -89,21 +93,33 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
 
     from mpc_blaster_tpu.ocp.spec import total_cost
 
-    if poc_mode == "online":
+    if poc_mode in ("online", "online_stagewise"):
         from mpc_blaster_tpu.dynamics.blaster import pack_stage_params
         from mpc_blaster_tpu.poc.solver import poc_jacobians
         pc = poc_cfg or cfg.PocSolverConfig()
         t_blast = spec.stage_params[0, -1]
 
-        def stage_params_for(x):
+        def _params_at(x):
             j_mot, j_eul, j_pos = poc_jacobians(
                 x[3:6], x[12:14], x[0:3], pc.stream_velocity, pc.drag,
                 pc.newton_iters)
-            p = pack_stage_params(j_mot, j_eul, j_pos, t_blast)
-            return jnp.tile(p[None].astype(dtype), (spec.horizon, 1))
-    else:
-        def stage_params_for(x):
+            return pack_stage_params(j_mot, j_eul, j_pos,
+                                     t_blast).astype(dtype)
+
+        if poc_mode == "online":
+            def stage_params_for(x, state):
+                return jnp.tile(_params_at(x)[None], (spec.horizon, 1))
+        else:
+            # per-stage: node k linearized at its predicted pose xbar[k]
+            # (the full use of the reference model's 25-dim per-stage
+            # parameters, `blastermodel.py:203-210`)
+            def stage_params_for(x, state):
+                return jax.vmap(_params_at)(state.xbar[:-1])
+    elif poc_mode == "frozen":
+        def stage_params_for(x, state):
             return spec.stage_params
+    else:
+        raise ValueError(f"unknown poc_mode {poc_mode!r}")
 
     if warm_start:
         from mpc_blaster_tpu.qp.ipm import IpmWarmStart
@@ -115,7 +131,7 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
 
         def tick(carry, _):
             state, warm, x = carry
-            spec_t = spec._replace(stage_params=stage_params_for(x))
+            spec_t = spec._replace(stage_params=stage_params_for(x, state))
             u0, state_new, warm_new, diag = rti_step_warm(
                 spec_t, state, warm, x, params, F, solver, linearizer=lin)
             x_next = F_plant(x, u0, plant_params, params)
@@ -137,7 +153,7 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
 
         def tick(carry, k):
             state, cache, x = carry
-            spec_t = spec._replace(stage_params=stage_params_for(x))
+            spec_t = spec._replace(stage_params=stage_params_for(x, state))
             refresh = (k % jac_refresh) == 0
             u0, state_new, cache, diag = rti_step_jacreuse(
                 spec_t, state, cache, refresh, x, params, F, solver,
@@ -152,7 +168,7 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
     else:
         def tick(carry, _):
             state, x = carry
-            spec_t = spec._replace(stage_params=stage_params_for(x))
+            spec_t = spec._replace(stage_params=stage_params_for(x, state))
             u0, state_new, diag = rti_step(spec_t, state, x, params, F,
                                            solver, linearizer=lin)
             x_next = F_plant(x, u0, plant_params, params)

@@ -95,6 +95,12 @@ def fault_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     solver = ocp.solver
+    # solver.lin_backend is honored only on the NOMINAL prediction model:
+    # the fused component-form linearizer (dynamics/fastlin.py) hard-codes
+    # the blaster ODE, so the observer-augmented model (offset_free=True)
+    # must use the generic jacfwd path.
+    from mpc_blaster_tpu.sqp.rti import make_linearizer
+    lin_nom = None if offset_free else make_linearizer(ocp, params)
     plant_p = spec.stage_params[0].at[-1].set(2.2 * 9.81)
     target = jnp.asarray(hover, dtype)
 
@@ -124,7 +130,8 @@ def fault_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
                 F_c = ctrl_F(d_v, d_w)
             else:
                 F_c = F
-            u0, st, diag = rti_step(spec_i, st, x, params, F_c, solver)
+            u0, st, diag = rti_step(spec_i, st, x, params, F_c, solver,
+                                    linearizer=lin_nom)
             x_next = plant(x, u0, dr)
             pred = F_c(x, u0, plant_p, params)
             return (st, x_next, d_v, d_w, pred[6:12]), diag.qp_kkt_eq
@@ -160,6 +167,9 @@ def disturbance_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     solver = ocp.solver
+    # same nominal-model-only rule as fault_sweep (see comment there)
+    from mpc_blaster_tpu.sqp.rti import make_linearizer
+    lin_nom = None if offset_free else make_linearizer(ocp, params)
     plant_p = spec.stage_params[0].at[-1].set(2.2 * 9.81)
 
     def plant(x, u, wind):
@@ -189,7 +199,8 @@ def disturbance_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
                 F_c = ctrl_F(d_est)
             else:
                 F_c = F
-            u0, st, diag = rti_step(spec_i, st, x, params, F_c, solver)
+            u0, st, diag = rti_step(spec_i, st, x, params, F_c, solver,
+                                    linearizer=lin_nom)
             x_next = plant(x, u0, wind)
             v_pred_next = F_c(x, u0, plant_p, params)[6:9]
             return (st, x_next, d_est, v_pred_next), diag.qp_kkt_eq

@@ -64,7 +64,12 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
     poc_mode: "frozen" keeps the POC Jacobians in `spec` fixed for the run
     (the reference's behavior, `simulation_blaster.py:37-39`); "online"
     re-linearizes the jet at the live pose every tick inside the scan
-    (beyond-reference; see `sim/closedloop.py`).
+    (beyond-reference; see `sim/closedloop.py`); "online_stagewise"
+    additionally linearizes EACH shooting node at its predicted pose
+    along the RTI iterate's xbar (a vmap over stages — the full use of
+    the per-stage 25-dim parameter design the reference model carries,
+    `blastermodel.py:203-210` + `simulation_blaster.py:65-69`, which the
+    reference only ever fills with one constant Jacobian set).
 
     plant_poc: "linear" propagates the plant's POC states with the same
     linearized poc_dot the controller model uses (the reference's sim,
@@ -82,20 +87,31 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
     solver = ocp.solver
     N = ocp.N
     pc = poc_cfg or cfg.PocSolverConfig()
+    from mpc_blaster_tpu.sqp.rti import make_linearizer
+    lin = make_linearizer(ocp, params)
 
-    if poc_mode == "online":
+    if poc_mode in ("online", "online_stagewise"):
         from mpc_blaster_tpu.dynamics.blaster import pack_stage_params
         from mpc_blaster_tpu.poc.solver import poc_jacobians
 
-        def stage_params_for(spec, x):
+        def _params_at(x, t_blast):
             j_mot, j_eul, j_pos = poc_jacobians(
                 x[3:6], x[12:14], x[0:3], pc.stream_velocity, pc.drag,
                 pc.newton_iters)
-            p = pack_stage_params(j_mot, j_eul, j_pos,
-                                  spec.stage_params[0, -1])
-            return jnp.tile(p[None].astype(dtype), (N, 1))
+            return pack_stage_params(j_mot, j_eul, j_pos,
+                                     t_blast).astype(dtype)
+
+        if poc_mode == "online":
+            def stage_params_for(spec, x, state):
+                p = _params_at(x, spec.stage_params[0, -1])
+                return jnp.tile(p[None], (N, 1))
+        else:
+            def stage_params_for(spec, x, state):
+                # stage k linearized at its PREDICTED pose xbar[k]
+                return jax.vmap(_params_at, in_axes=(0, None))(
+                    state.xbar[:-1], spec.stage_params[0, -1])
     elif poc_mode == "frozen":
-        def stage_params_for(spec, x):
+        def stage_params_for(spec, x, state):
             return spec.stage_params
     else:
         raise ValueError(f"unknown poc_mode {poc_mode!r}")
@@ -122,12 +138,12 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
         rti0 = init_rti_state(ocp, x0, dtype)
         plant_params = spec.stage_params[0]
 
-        def window_spec(i, x):
+        def window_spec(i, x, state):
             window = jax.lax.dynamic_slice(
                 ref_traj, (i + 1, 0), (N, cfg.NX))
-            return spec._replace(yref_x=window, yref_e=window[-1],
-                                 stage_params=stage_params_for(spec, x)), \
-                window
+            return spec._replace(
+                yref_x=window, yref_e=window[-1],
+                stage_params=stage_params_for(spec, x, state)), window
 
         if warm_start:
             from mpc_blaster_tpu.qp.ipm import IpmWarmStart
@@ -137,9 +153,10 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
 
             def tick(carry, i):
                 state, warm, x = carry
-                spec_i, window = window_spec(i, x)
+                spec_i, window = window_spec(i, x, state)
                 u0, state_new, warm_new, diag = rti_step_warm(
-                    spec_i, state, warm, x, params, F, solver)
+                    spec_i, state, warm, x, params, F, solver,
+                    linearizer=lin)
                 x_next = plant_step(x, u0, plant_params)
                 out = (x_next, u0, window[0], diag.qp_kkt_stat,
                        diag.qp_kkt_eq)
@@ -150,9 +167,9 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
         else:
             def tick(carry, i):
                 state, x = carry
-                spec_i, window = window_spec(i, x)
+                spec_i, window = window_spec(i, x, state)
                 u0, state_new, diag = rti_step(spec_i, state, x, params, F,
-                                               solver)
+                                               solver, linearizer=lin)
                 x_next = plant_step(x, u0, plant_params)
                 out = (x_next, u0, window[0], diag.qp_kkt_stat,
                        diag.qp_kkt_eq)

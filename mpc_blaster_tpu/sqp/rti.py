@@ -179,6 +179,8 @@ def solve_qp_backend(qp: QPData, solver: cfg.SolverConfig, warm=None):
                                   alpha_frac=solver.ipm_alpha_frac,
                                   reg=max(solver.ipm_reg, 1e-6),
                                   interpret=not pallas_available(),
+                                  stream_p=solver.pallas_stream_p,
+                                  stream_big=solver.pallas_stream_big,
                                   warm=wb)
         return jax.tree.map(lambda a: a[0], sol)
     return box_qp_solve(qp, iters=solver.ipm_iters, mu0=solver.ipm_mu0,
