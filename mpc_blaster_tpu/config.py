@@ -145,6 +145,14 @@ class SolverConfig:
     # on N and on what else shares the chip.
     pallas_stream_p: bool | None = None
     pallas_stream_big: bool | None = None
+    # Warm-start conditioning for rti_step_warm chains (see
+    # qp/ipm.py::warm_start_recenter): "full" passes slacks+duals as-is
+    # (HPIPM warm_start=1), "primal" re-centers duals at mu0/s,
+    # "centrality" clips complementarity pairs into [0.1, 10]*mu0.
+    # warm_shift additionally time-shifts the carried iterate and
+    # slack/dual state one stage per tick (the classical RTI shift).
+    warm_mode: str = "full"
+    warm_shift: bool = False
     tol_stat: float = 1e-6
     tol_eq: float = 1e-6
     tol_ineq: float = 1e-6

@@ -178,16 +178,17 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 P_s, psem, AB_s, absem, Zsl_s, zsem,
                 Z_s, Hinv_s, kff_s,
                 dx_s, du_s,
-                bdx_s, bdu_s, bm_s,
+                bm_s,
                 ddx_s, ddu_s, ddxa_s, ddua_s,
                 qr_s, rr_s, req_s,
                 *, N: int, nx: int, nu: int, iters: int, mu0: float,
                 alpha_frac: float, reg: float, s_min: float, mu_min: float,
                 sigma_max: float, lam_max: float, eps_s: float,
-                stream_p: bool, stream_big: bool):
+                stream_p: bool, stream_big: bool, chunk: int):
     """NOTE on naming: slx_s..lam_uu_s are OUTPUT refs (warm-start outputs)
     doubling as the iterate's slack/dual state; the wslx_ref.. inputs are
-    aliased onto them and must only be read before the init pass writes."""
+    aliased onto them and must only be read before the init pass writes.
+    dx_out/du_out double as the best-iterate buffers (VMEM economy)."""
     f32 = jnp.float32
     Bt = dx0_ref.shape[-1]
 
@@ -196,37 +197,129 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     eye_x = jnp.broadcast_to(jnp.eye(nx, dtype=f32)[:, :, None],
                              (nx, nx, Bt))
 
-    # ---- streamed-data accessors (A/B record, Z gains, P Hessians) ----
-    if stream_big:
-        def getAB(k):
-            cp = pltpu.make_async_copy(AB_ref.at[k], AB_s.at[0],
-                                       absem.at[0])
-            cp.start()
-            cp.wait()
-            blk = AB_s[0]
-            return blk[:, :nx], blk[:, nx:]
+    # ---- stage-sweep driver over streamed/resident data ----------------
+    # Streams: the packed A/B record (input), the Z gains and P Hessians
+    # (HBM dumps in streamed mode). Rows move in CHUNKS of C stages:
+    # reads are double-buffered (prefetch chunk i+1 while chunk i
+    # computes — the canonical TPU DMA-pipeline pattern), writes are
+    # buffered in the chunk slab and flushed with one blocking DMA per
+    # chunk. vs the round-2 per-stage blocking DMAs this cuts the DMA
+    # *count* by C and hides the read latency under compute entirely.
+    C = chunk
 
-        def z_put(k, Zv):
-            Zsl_s[0] = Zv
-            cp = pltpu.make_async_copy(Zsl_s.at[0], Z_hbm.at[k], zsem.at[0])
-            cp.start()
-            cp.wait()
+    def _cp_rd(hbm, slab, sem, slot, base):
+        return pltpu.make_async_copy(hbm.at[pl.ds(base, C)],
+                                     slab.at[slot], sem.at[slot])
 
-        def z_get(k):
-            cp = pltpu.make_async_copy(Z_hbm.at[k], Zsl_s.at[1], zsem.at[1])
-            cp.start()
-            cp.wait()
-            return Zsl_s[1]
-    else:
-        def getAB(k):
-            blk = AB_ref[k]
-            return blk[:, :nx], blk[:, nx:]
+    def _cp_wr(hbm, slab, sem, slot, base):
+        return pltpu.make_async_copy(slab.at[slot],
+                                     hbm.at[pl.ds(base, C)], sem.at[slot])
 
-        def z_put(k, Zv):
-            Z_s[k] = Zv
+    def _ab_direct(k):
+        blk = AB_ref[k]
+        return blk[:, :nx], blk[:, nx:]
 
-        def z_get(k):
-            return Z_s[k]
+    def sweep(body, carry0, *, reverse, ab=False, p_read=False,
+              z_read=False, p_write=False, z_write=False):
+        """Run body(k, get, put, carry) -> carry over stages k = 0..N-1
+        (descending when reverse). get('AB') -> (A_k, B_k);
+        get('P') -> P_{k+1} (the Riccati bwd sweep's +1 offset);
+        get('Z') -> Z_k; put('P'/'Z', v) stores row k. Trace-time
+        specialization keeps exactly one variant in the compiled kernel.
+        """
+        reads = []
+        if ab and stream_big:
+            reads.append((AB_ref, AB_s, absem, 0))
+        if z_read and stream_big:
+            reads.append((Z_hbm, Zsl_s, zsem, 0))
+        if p_read and stream_p:
+            reads.append((P_hbm, P_s, psem, 1))
+        writes = []
+        if p_write and stream_p:
+            writes.append((P_hbm, P_s, psem))
+        if z_write and stream_big:
+            writes.append((Z_hbm, Zsl_s, zsem))
+
+        if not reads and not writes:  # fully resident
+            def row_d(i, carry):
+                k = N - 1 - i if reverse else i
+
+                def get(name):
+                    if name == "AB":
+                        return _ab_direct(k)
+                    if name == "P":
+                        return P_s[k + 1]
+                    return Z_s[k]
+
+                def put(name, v):
+                    if name == "P":
+                        P_s[k] = v
+                    else:
+                        Z_s[k] = v
+
+                return body(k, get, put, carry)
+
+            return jax.lax.fori_loop(0, N, row_d, carry0)
+
+        nc = N // C
+
+        def start_reads(slot, ci):
+            for hbm, slab, sem, off in reads:
+                _cp_rd(hbm, slab, sem, slot, ci * C + off).start()
+
+        def wait_reads(slot, ci):
+            for hbm, slab, sem, off in reads:
+                _cp_rd(hbm, slab, sem, slot, ci * C + off).wait()
+
+        start_reads(0, nc - 1 if reverse else 0)
+
+        def chunk_body(i, carry):
+            ci = nc - 1 - i if reverse else i
+            slot = i % 2
+
+            @pl.when(i + 1 < nc)
+            def _():
+                start_reads(1 - slot, ci - 1 if reverse else ci + 1)
+
+            wait_reads(slot, ci)
+            base = ci * C
+
+            def row(j, carry):
+                r = C - 1 - j if reverse else j
+                k = base + r
+
+                def get(name):
+                    if name == "AB":
+                        if stream_big:
+                            blk = AB_s[slot, r]
+                            return blk[:, :nx], blk[:, nx:]
+                        return _ab_direct(k)
+                    if name == "P":
+                        return P_s[slot, r] if stream_p else P_s[k + 1]
+                    return Zsl_s[slot, r] if stream_big else Z_s[k]
+
+                def put(name, v):
+                    if name == "P":
+                        if stream_p:
+                            P_s[slot, r] = v
+                        else:
+                            P_s[k] = v
+                    else:
+                        if stream_big:
+                            Zsl_s[slot, r] = v
+                        else:
+                            Z_s[k] = v
+
+                return body(k, get, put, carry)
+
+            carry = jax.lax.fori_loop(0, C, row, carry)
+            for hbm, slab, sem in writes:  # flush this chunk's rows
+                cp = _cp_wr(hbm, slab, sem, slot, base)
+                cp.start()
+                cp.wait()
+            return carry
+
+        return jax.lax.fori_loop(0, nc, chunk_body, carry0)
 
     # ---- masks derived from sanitized bound values ----
     def m_lo(b):
@@ -261,8 +354,8 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         hi = jnp.where(mu_ > 0.5, ub - 0.1 * w, _BIG)
         return jnp.clip(v, lo, jnp.maximum(hi, lo))
 
-    def init_roll(k, _):
-        A_k, B_k = getAB(k)
+    def init_roll(k, get, put, _):
+        A_k, B_k = get("AB")
         nxt = _matvec(A_k, dx_s[k]) + c_ref[k]
         lb, ub = lbx_ref[k], ubx_ref[k]
         mlx, mux = m_lo(lb), m_hi(ub)
@@ -295,7 +388,7 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                                 blend_l(wluu_ref[k], c_luu, muu), 0.0)
         return 0
 
-    jax.lax.fori_loop(0, N, init_roll, 0)
+    sweep(init_roll, 0, reverse=False, ab=True)
 
     # per-problem inequality count from the derived masks
     def count_ineq(k, acc):
@@ -322,20 +415,25 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         return jax.lax.fori_loop(0, N, body, jnp.zeros((Bt,), f32))
 
     def kkt():
-        """(stat (B,), eq (B,)) of the current iterate via adjoint sweep."""
+        """(stat (B,), eq (B,)) of the current iterate via adjoint sweep.
+
+        SIDE EFFECT: refreshes req_s with the iterate's shooting residuals
+        (`pred` IS the next iteration's req), fusing away what used to be
+        a separate compute_req pass over the A/B record — one fewer
+        N-stage sweep AND one fewer full AB stream read per iteration."""
         lam0 = (_contractT_vec(Qt_ref[...], dx_s[N]) + q_ref[N]
                 - (lam_lx_s[N - 1] - lam_ux_s[N - 1]))
 
-        def bwd(i, carry):
+        def bwd(k, get, put, carry):
             lam, stat, eq = carry
-            k = N - 1 - i
-            A_k, B_k = getAB(k)
+            A_k, B_k = get("AB")
             su = (_contractT_vec(R1_ref[...], du_s[k]) + r_ref[k]
                   + _contractT_vec(B_k, lam)
                   - (lam_lu_s[k] - lam_uu_s[k]))
             stat = jnp.maximum(stat, jnp.max(jnp.abs(su), axis=0))
             pred = (_matvec(A_k, dx_s[k])
                     + _matvec(B_k, du_s[k]) + c_ref[k] - dx_s[k + 1])
+            req_s[k] = pred
             eq = jnp.maximum(eq, jnp.max(jnp.abs(pred), axis=0))
             lam_new = (_contractT_vec(Qs_ref[...], dx_s[k]) + q_ref[k]
                        + _contractT_vec(A_k, lam))
@@ -345,13 +443,14 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
             return (lam_new, stat, eq)
 
         z = jnp.zeros((Bt,), f32)
-        _, stat, eq = jax.lax.fori_loop(0, N, bwd, (lam0, z, z))
+        _, stat, eq = sweep(bwd, (lam0, z, z), reverse=True, ab=True)
         return stat, eq
 
-    # seed best iterate
+    # seed best iterate (kept in the dx/du OUTPUT refs — no extra VMEM);
+    # this kkt() call also seeds req_s for the first iteration
     st0, eq0 = kkt()
-    bdx_s[...] = dx_s[...]
-    bdu_s[...] = du_s[...]
+    dx_out[...] = dx_s[...]
+    du_out[...] = du_s[...]
     bm_s[...] = (st0 + eq0 + comp_sum() / n_ineq)[None, :]
 
     # per-stage inline helpers -------------------------------------------
@@ -363,9 +462,8 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         return (slu_s[k] - (du_s[k] - lbu_ref[k]),
                 suu_s[k] - (ubu_ref[k] - du_s[k]))
 
-    def _stage_factor(P, k):
+    def _stage_factor(P, k, A_k, B_k):
         """One backward Riccati stage: P_{k+1} -> (P_k, Z_k, Hinv_k)."""
-        A_k, B_k = getAB(k)
         PA = _contractT(P, A_k)                    # P'A = PA (sym)
         PB = _contractT(P, B_k)
         sig_u = jnp.minimum(
@@ -384,9 +482,7 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         sig_x = jnp.where(k >= 1, sig_x, 0.0)
         Pk = Pk + sig_x[:, None, :] * eye_x
         Pk = 0.5 * (Pk + jnp.swapaxes(Pk, 0, 1))
-        z_put(k, Z)
-        Hinv_s[k] = Hinv
-        return Pk
+        return Pk, Z, Hinv
 
     def _terminal_P():
         sigN = jnp.minimum(
@@ -395,54 +491,27 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
             sigma_max)
         return Qt_ref[...] + sigN[:, None, :] * eye_x
 
-    def _p_write(slot, row):
-        return pltpu.make_async_copy(P_s.at[slot], P_hbm.at[row],
-                                     psem.at[slot])
-
-    def _p_read(slot, row):
-        return pltpu.make_async_copy(P_hbm.at[row], P_s.at[slot],
-                                     psem.at[slot])
-
-    if stream_p:
-        # P lives in HBM; VMEM holds a single slab. Synchronous DMA per
-        # stage: ~1-2us per 150KB copy, amortized against ~30us of stage
-        # compute. (An overlapped 2-slot protocol faulted on hardware via
-        # reconstructed-descriptor waits; keep it simple and matched.)
-        def _p_put(row, Pv):
-            P_s[0] = Pv
-            cp = _p_write(0, row)
+    def factorize():
+        PN = _terminal_P()
+        if stream_p:
+            # terminal row N flushed alone; chunked rows cover 0..N-1
+            P_s[0, 0] = PN
+            cp = pltpu.make_async_copy(P_s.at[0, 0], P_hbm.at[N],
+                                       psem.at[0])
             cp.start()
             cp.wait()
+        else:
+            P_s[N] = PN
 
-        def factorize():
-            P = _terminal_P()
-            _p_put(N, P)
+        def bwd(k, get, put, P):
+            A_k, B_k = get("AB")
+            Pk, Zk, Hinv = _stage_factor(P, k, A_k, B_k)
+            put("P", Pk)
+            put("Z", Zk)
+            Hinv_s[k] = Hinv
+            return Pk
 
-            def bwd(i, P):
-                k = N - 1 - i
-                Pk = _stage_factor(P, k)
-                _p_put(k, Pk)
-                return Pk
-
-            jax.lax.fori_loop(0, N, bwd, P)
-    else:
-        def factorize():
-            P_s[N] = _terminal_P()
-
-            def bwd(i, _):
-                k = N - 1 - i
-                P_s[k] = _stage_factor(P_s[k + 1], k)
-                return 0
-
-            jax.lax.fori_loop(0, N, bwd, 0)
-
-    def compute_req():
-        def body(k, _):
-            A_k, B_k = getAB(k)
-            req_s[k] = (c_ref[k] + _matvec(A_k, dx_s[k])
-                        + _matvec(B_k, du_s[k]) - dx_s[k + 1])
-            return 0
-        jax.lax.fori_loop(0, N, body, 0)
+        sweep(bwd, PN, reverse=True, ab=True, p_write=True, z_write=True)
 
     def rhs_grads(targets):
         """Build qr_s/rr_s. targets(k) -> (Tlx, Tux, Tlu, Tuu) per stage.
@@ -488,43 +557,29 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     def solve_rhs(ddx_ref, ddu_ref):
         """Backward + forward sweeps with the current factor; directions
         land in (ddx_ref, ddu_ref)."""
-        if stream_p:
-            def bwd(i, p):
-                k = N - 1 - i
-                cp = _p_read(1, k + 1)
-                cp.start()
-                cp.wait()
-                Pn = P_s[1]
-                A_k, B_k = getAB(k)
-                Pcp = _contractT_vec(Pn, req_s[k]) + p
-                Gu = rr_s[k] + _contractT_vec(B_k, Pcp)
-                kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)
-                return (qr_s[k] + _contractT_vec(A_k, Pcp)
-                        - _contractT_vec(z_get(k), Gu))
-        else:
-            def bwd(i, p):
-                k = N - 1 - i
-                A_k, B_k = getAB(k)
-                Pcp = _contractT_vec(P_s[k + 1], req_s[k]) + p
-                Gu = rr_s[k] + _contractT_vec(B_k, Pcp)
-                kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)
-                return (qr_s[k] + _contractT_vec(A_k, Pcp)
-                        - _contractT_vec(z_get(k), Gu))
+        def bwd(k, get, put, p):
+            A_k, B_k = get("AB")
+            Pcp = _contractT_vec(get("P"), req_s[k]) + p
+            Gu = rr_s[k] + _contractT_vec(B_k, Pcp)
+            kff_s[k] = -_contractT_vec(Hinv_s[k], Gu)
+            return (qr_s[k] + _contractT_vec(A_k, Pcp)
+                    - _contractT_vec(get("Z"), Gu))
 
-        jax.lax.fori_loop(0, N, bwd, qr_s[N])
+        sweep(bwd, qr_s[N], reverse=True, ab=True, p_read=True,
+              z_read=True)
 
         ddx_ref[0] = jnp.zeros((nx, Bt), f32)
 
-        def fwd(k, _):
+        def fwd(k, get, put, _):
             d = ddx_ref[k]
-            A_k, B_k = getAB(k)
-            du_k = -_matvec(z_get(k), d) + kff_s[k]
+            A_k, B_k = get("AB")
+            du_k = -_matvec(get("Z"), d) + kff_s[k]
             ddu_ref[k] = du_k
             ddx_ref[k + 1] = (_matvec(A_k, d) + _matvec(B_k, du_k)
                               + req_s[k])
             return 0
 
-        jax.lax.fori_loop(0, N, fwd, 0)
+        sweep(fwd, 0, reverse=False, ab=True, z_read=True)
 
     # The stage-k x bounds apply to dx[k+1] (stages 1..N); slack index k.
     def slack_dirs(k, ddx_ref, ddu_ref):
@@ -585,7 +640,9 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     def ipm_iteration(_it, _carry):
         mu_cur = comp_sum() / n_ineq                     # (B,)
 
-        compute_req()
+        # req_s is already current: the previous iteration's closing kkt()
+        # (or the seed kkt() before iteration 0) wrote this iterate's
+        # shooting residuals.
         factorize()
 
         # ---- predictor (affine scaling, target 0): directions land in
@@ -664,21 +721,19 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         st, eq = kkt()
         m = st + eq + comp_sum() / n_ineq                # (B,)
         better = (m < bm_s[0])[None, None, :]
-        bdx_s[...] = jnp.where(better, dx_s[...], bdx_s[...])
-        bdu_s[...] = jnp.where(better, du_s[...], bdu_s[...])
+        dx_out[...] = jnp.where(better, dx_s[...], dx_out[...])
+        du_out[...] = jnp.where(better, du_s[...], du_out[...])
         bm_s[...] = jnp.where(better[0], m[None, :], bm_s[...])
         return _carry
 
     jax.lax.fori_loop(0, iters, ipm_iteration, 0)
 
-    dx_out[...] = bdx_s[...]
-    du_out[...] = bdu_s[...]
     # Final diagnostics on the RETURNED iterate: copy best into the state
     # refs and rerun the KKT sweep (duals are last-iterate — stat is an
     # estimate, eq is exact). The slack/dual OUTPUT refs keep the last
     # iterate (best interior point for warm-starting the next tick).
-    dx_s[...] = bdx_s[...]
-    du_s[...] = bdu_s[...]
+    dx_s[...] = dx_out[...]
+    du_s[...] = du_out[...]
     stf, eqf = kkt()
     # last-iterate duals can be garbage past convergence; fall back to the
     # best merit (an upper bound on the true stationarity residual)
@@ -804,19 +859,26 @@ def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
     if stream_p is None:
         # N=30 fully VMEM-resident compiles and runs on v5e (~14 MB incl.
         # stack) and is 2x faster end to end than streaming (measured:
-        # rt6 N=30 0.80 ms resident vs 1.50 ms streamed — the per-stage
-        # DMA start/wait latency dominates at B=1); stream only beyond.
+        # rt6 N=30 0.80 ms resident vs 1.50 ms streamed); stream beyond.
         stream_p = N > 30
     if stream_big is None:
         stream_big = N > 30
     if stream_big:
         stream_p = True  # the long-horizon config streams everything big
 
+    # Stream chunk size: the largest divisor of N up to 4 stages. Chunks
+    # amortize DMA issue latency (count /C) and enable the double-buffered
+    # prefetch; C=1 degenerates to per-stage copies (prime horizons).
+    # Cap 4 keeps the three 2-slot chunk slabs ~3.2 MB at the flagship
+    # dims (the resident side of the N=60 kernel already needs ~12 MB).
+    chunk = max(c for c in range(1, 5) if N % c == 0) \
+        if (stream_p or stream_big) else 1
+
     kernel = functools.partial(
         _ipm_kernel, N=N, nx=nx, nu=nu, iters=iters, mu0=mu0,
         alpha_frac=alpha_frac, reg=reg, s_min=s_min, mu_min=mu_min,
         sigma_max=sigma_max, lam_max=lam_max, eps_s=eps_s,
-        stream_p=stream_p, stream_big=stream_big)
+        stream_p=stream_p, stream_big=stream_big, chunk=chunk)
 
     def vspec():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -833,15 +895,16 @@ def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
                  vspec(), vspec(), vspec(), vspec(),
                  vspec(), vspec(), vspec(), vspec())
 
-    # P storage: HBM-streamed (scratch slab + ANY-space dump output) or
-    # fully VMEM-resident. Z gains likewise in the stream_big config.
+    # P storage: HBM-streamed (2-slot chunk slab + ANY-space dump output)
+    # or fully VMEM-resident. Z gains and the A/B record likewise in the
+    # stream_big config.
     p_dump_shape = (N + 1, nx, nx, LANES) if stream_p else (1, 1, LANES)
     z_dump_shape = (N, nu, nx, LANES) if stream_big else (1, 1, LANES)
-    p_slab = (pltpu.VMEM((2, nx, nx, LANES), f32) if stream_p
+    p_slab = (pltpu.VMEM((2, chunk, nx, nx, LANES), f32) if stream_p
               else pltpu.VMEM((N + 1, nx, nx, LANES), f32))
-    ab_slab = (pltpu.VMEM((2, nx, nx + nu, LANES), f32) if stream_big
-               else pltpu.VMEM((1, 1, LANES), f32))
-    z_slab = (pltpu.VMEM((2, nu, nx, LANES), f32) if stream_big
+    ab_slab = (pltpu.VMEM((2, chunk, nx, nx + nu, LANES), f32)
+               if stream_big else pltpu.VMEM((1, 1, LANES), f32))
+    z_slab = (pltpu.VMEM((2, chunk, nu, nx, LANES), f32) if stream_big
               else pltpu.VMEM((1, 1, LANES), f32))
     z_full = (pltpu.VMEM((1, 1, LANES), f32) if stream_big
               else pltpu.VMEM((N, nu, nx, LANES), f32))
@@ -866,8 +929,6 @@ def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
         pltpu.VMEM((N, nu, LANES), f32),          # kff_s
         pltpu.VMEM((N + 1, nx, LANES), f32),      # dx_s
         pltpu.VMEM((N, nu, LANES), f32),          # du_s
-        pltpu.VMEM((N + 1, nx, LANES), f32),      # bdx
-        pltpu.VMEM((N, nu, LANES), f32),          # bdu
         pltpu.VMEM((1, LANES), f32),              # bm
         pltpu.VMEM((N + 1, nx, LANES), f32),      # ddx
         pltpu.VMEM((N, nu, LANES), f32),          # ddu

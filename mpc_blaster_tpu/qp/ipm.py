@@ -474,6 +474,47 @@ def warm_start_from(sol: QPSolution, shift: bool = False) -> IpmWarmStart:
     )
 
 
+def warm_start_recenter(warm: IpmWarmStart, mu0: float = 1e-1,
+                        mode: str = "centrality",
+                        band=(0.1, 10.0)) -> IpmWarmStart:
+    """Tame a slack/dual warm start for the next tick (classical RTI
+    warm-start conditioning; HPIPM exposes the same idea as
+    `warm_start=2` "centered" modes).
+
+    The measured failure of raw warm chains (round 2: ~10x figure-8
+    degradation on transients) is that the previous tick's NEAR-ACTIVE
+    duals assert an active set the transient has already left — the
+    low-iteration solve then fights stale multipliers. Two classical
+    repairs, both keeping the (informative) slack geometry:
+
+      mode="primal":      duals fully re-centered at lam = mu0/s — the
+                          warm start carries only primal information.
+      mode="centrality":  per-entry complementarity products clipped into
+                          [band[0]*mu0, band[1]*mu0] by rescaling lam —
+                          keeps dual information but bounds how hard a
+                          stale multiplier can push.
+
+    Returns a new IpmWarmStart (same `valid`).
+    """
+    lo, hi = band
+
+    def recenter(s, lam):
+        s_safe = jnp.maximum(s, 1e-9)
+        if mode == "primal":
+            return mu0 / s_safe
+        if mode == "centrality":
+            prod = jnp.clip(s_safe * lam, lo * mu0, hi * mu0)
+            return prod / s_safe
+        raise ValueError(f"unknown warm recenter mode {mode!r}")
+
+    return warm._replace(
+        lam_lx=recenter(warm.s_lx, warm.lam_lx),
+        lam_ux=recenter(warm.s_ux, warm.lam_ux),
+        lam_lu=recenter(warm.s_lu, warm.lam_lu),
+        lam_uu=recenter(warm.s_uu, warm.lam_uu),
+    )
+
+
 def _kkt_residuals(data: QPData, st: _IpmState, mask_lx, mask_ux,
                    mask_lu, mask_uu):
     """Stationarity (via adjoint recursion, scan) and equality residual."""

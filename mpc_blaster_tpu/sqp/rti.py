@@ -291,14 +291,16 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
     cold).
 
     CAVEAT (measured on v5e, round 2): on aggressive transients the
-    previous tick's near-active duals mislead low-iteration warm solves —
-    altitude steps overshoot and figure-8 tracking degrades ~10x vs
-    per-tick cold starts. This mirrors why the reference runs HPIPM with
-    `qp_solver_warm_start=0` (acados JSON). The deployed latency loop is
-    therefore COLD `rti_step` with `qp_backend="pallas", ipm_iters=6`;
-    use warm ticks only for slowly-varying regulation problems.
+    previous tick's near-active duals mislead low-iteration RAW warm
+    solves — altitude steps overshoot and figure-8 tracking degrades
+    ~10x vs per-tick cold starts. This mirrors why the reference runs
+    HPIPM with `qp_solver_warm_start=0` (acados JSON). Conditioning
+    repairs exist as `solver.warm_mode` ("primal"/"centrality",
+    `qp/ipm.py::warm_start_recenter`) and `solver.warm_shift` (classical
+    RTI time-shift of the iterate + slack/dual state); measure against
+    the cold rt6 loop before deploying (bench.py's warm A/B rows).
     """
-    from mpc_blaster_tpu.qp.ipm import warm_start_from
+    from mpc_blaster_tpu.qp.ipm import warm_start_from, warm_start_recenter
 
     qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
     sol = solve_qp_backend(qp, solver, warm=warm)
@@ -309,7 +311,14 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
         step_norm_u=jnp.max(jnp.abs(sol.du)),
         bound_viol=_bound_violation(spec, new_state),
     )
-    return new_state.ubar[0], new_state, warm_start_from(sol), diag
+    u0 = new_state.ubar[0]
+    warm_out = warm_start_from(sol, shift=solver.warm_shift)
+    if solver.warm_mode != "full":
+        warm_out = warm_start_recenter(warm_out, mu0=solver.ipm_mu0,
+                                       mode=solver.warm_mode)
+    if solver.warm_shift:
+        new_state = shift_state(new_state)
+    return u0, new_state, warm_out, diag
 
 
 def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,

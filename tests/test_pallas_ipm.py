@@ -219,7 +219,8 @@ def test_pallas_warm_blend_nan_guard_interpret():
 @pytest.mark.slow
 def test_pallas_ipm_stream_matches_resident_interpret():
     """HBM-streamed P (large-N mode) is numerically identical to the
-    VMEM-resident mode."""
+    VMEM-resident mode. N=8 -> chunk C=4: the chunked double-buffered
+    read path and the per-chunk write flush are both exercised."""
     data = _blaster_qps(B=2, N=8)
     a = pallas_box_qp_solve(data, iters=8, interpret=True, stream_p=False)
     b = pallas_box_qp_solve(data, iters=8, interpret=True, stream_p=True)
@@ -227,3 +228,20 @@ def test_pallas_ipm_stream_matches_resident_interpret():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.dx), np.asarray(b.dx),
                                atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pallas_ipm_stream_big_matches_resident_interpret():
+    """Full streaming (A/B record + Z + P through HBM, the flagship N=60
+    configuration) matches the resident kernel bit-for-bit in interpret
+    mode — on a composite horizon (chunked DMA) and a prime one (C=1)."""
+    for N in (8, 7):
+        data = _blaster_qps(B=2, N=N)
+        a = pallas_box_qp_solve(data, iters=6, interpret=True,
+                                stream_p=False, stream_big=False)
+        b = pallas_box_qp_solve(data, iters=6, interpret=True,
+                                stream_big=True)
+        np.testing.assert_allclose(np.asarray(a.du), np.asarray(b.du),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.dx), np.asarray(b.dx),
+                                   atol=1e-6)
