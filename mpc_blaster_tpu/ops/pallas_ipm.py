@@ -7,11 +7,14 @@ arithmetic is ~0.1 ms. This kernel runs the WHOLE Mehrotra
 predictor-corrector solve (factorization, two RHS sweeps, fraction-to-
 boundary line searches, merit/best-iterate tracking — every IPM iteration)
 inside ONE `pallas_call`, eliminating the dispatch overhead entirely.
-Measured (v5e, N=20): ~0.06 ms per IPM iteration vs ~0.36 ms on the XLA
-path — which is what makes the >=1 kHz single-trajectory loop possible
-(BASELINE.md north star; deployed as `SolverConfig(qp_backend="pallas",
-ipm_iters=6)` with per-tick cold starts, matching the reference's HPIPM
-`qp_solver_warm_start=0`).
+Measured (v5e, round 3, honest fetch-based timing): a full 6-iteration
+solve takes 0.44 ms at N=20 / 0.66 ms at N=30 (VMEM-resident) / 1.67 ms
+at N=60 (HBM-streamed) — which is what makes the >=1 kHz
+single-trajectory loop possible at the BASELINE north-star configs
+(deployed as `SolverConfig(qp_backend="pallas", ipm_iters=6)`; per-tick
+cold starts match the reference's HPIPM `qp_solver_warm_start=0`, and
+SHIFTED conditioned warm chains — `warm_mode`/`warm_shift` — buy a
+further ~1.5x where transients allow, see bench.py).
 
 Layout: batch-on-lanes. Every per-stage matrix is stored (rows, cols, B)
 with B on the 128-wide lane axis; matrix products become unrolled sums of
@@ -27,14 +30,17 @@ kernel's value stack):
   - every stage loop is a `fori_loop` with dynamic ref indexing, so Mosaic
     reuses one stage's worth of stack temporaries;
   - A and B are PACKED into one (N, nx, nx+nu, LANES) record; for long
-    horizons (`stream_big`, default N > 20) the record plus the Z gain
-    tensor live in HBM and are DMA'd per stage — with P streaming
-    (`stream_p`) this is what fits the flagship N=60 problem;
+    horizons (`stream_big`, default N > 30) the record plus the Z gain
+    tensor live in HBM and move in double-buffered CHUNKS of C stages
+    (prefetch chunk i+1 while chunk i computes; writes flushed per
+    chunk) — with P streaming (`stream_p`) this is what fits the
+    flagship N=60 problem;
   - bound masks are DERIVED in-kernel from the sanitized bound values
     (+-inf is encoded as +-1e18 by the host wrapper) instead of being
     carried as four extra mask tensors;
-  - slack/dual state lives in the OUTPUT refs (warm-start outputs), with
-    the warm-start *inputs* aliased onto them (`input_output_aliases`);
+  - slack/dual state lives in the OUTPUT refs (warm-start outputs);
+    cold solves (the deployed default) compile the warm machinery away
+    entirely via the static `warm_on` flag;
   - predictor (affine) directions are kept in their own ddxa/ddua
     buffers and the per-bound predictor slack/dual directions are
     recomputed on the fly wherever the Mehrotra targets need them —
@@ -42,17 +48,18 @@ kernel's value stack):
   - no transposed copies are stored; transposes happen on the fly.
 
 Semantics match `qp/ipm.py` (same init, Mehrotra + Gondzio clipping,
-f32 floors, equilibrated fail-safe Cholesky, best-iterate on dx/du).
-Infinite bounds are masked exactly like the XLA path. One deliberate
-difference: the returned slacks/duals (and therefore the warm-start
-output) are the LAST iterate's, not the best-KKT iterate's — an interior
-warm start wants the most centered point, and it saves 8 best-tracking
-buffers of VMEM.
+f32 floors, equilibrated fail-safe Cholesky, best-iterate on dx/du —
+tracked directly in the dx/du OUTPUT refs). Infinite bounds are masked
+exactly like the XLA path; SOFT bounds (acados ns>0) run in-kernel via
+the qp/soft.py stage-wise elimination (see `_ipm_kernel` docstring).
+One deliberate difference: the returned slacks/duals (and therefore the
+warm-start output) are the LAST iterate's, not the best-KKT iterate's —
+an interior warm start wants the most centered point, and it saves 8
+best-tracking buffers of VMEM.
 """
 from __future__ import annotations
 
 import functools
-import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -71,9 +78,14 @@ _BIG = 1e20     # slack sentinel for masked (infinite) bounds
 _BIGB = 1e18    # finite stand-in for an infinite bound value
 _MTHR = 5e17    # |bound| above this is treated as infinite (mask = 0)
 
-# Isolation toggle for hardware debugging: input_output_aliases maps the
-# warm-start inputs onto the slack/dual outputs (saves HBM traffic).
-_USE_ALIASES = _os.environ.get("MPC_PALLAS_NO_ALIAS", "") != "1"
+# NOTE: the kernel deliberately does NOT use input_output_aliases.
+# Round-3 hardware debugging found a real miscompile class: identical
+# zero warm-start inputs are CSE'd/hoisted by XLA inside scan bodies, so
+# aliasing maps ONE deduplicated buffer onto SEVERAL outputs and the
+# kernel's in-place writes clobber each other (symptom: the solve
+# returns its seed iterate, only when nested in lax.scan, only on real
+# hardware). Cold solves skip the warm machinery entirely via the
+# static `warm_on` flag instead.
 
 
 def pallas_available() -> bool:
@@ -172,6 +184,8 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 lbx_ref, ubx_ref, lbu_ref, ubu_ref, dx0_ref, wvalid_ref,
                 wslx_ref, wsux_ref, wllx_ref, wlux_ref,
                 wslu_ref, wsuu_ref, wllu_ref, wluu_ref,
+                Zlx_ref, zlx_ref, Zux_ref, zux_ref,
+                Zlu_ref, zlu_ref, Zuu_ref, zuu_ref,
                 dx_out, du_out, diag_out, P_hbm, Z_hbm,
                 slx_s, sux_s, lam_lx_s, lam_ux_s,
                 slu_s, suu_s, lam_lu_s, lam_uu_s,
@@ -181,14 +195,27 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 bm_s,
                 ddx_s, ddu_s, ddxa_s, ddua_s,
                 qr_s, rr_s, req_s,
+                tlx_s, glx_s, tux_s, gux_s,
+                tlu_s, glu_s, tuu_s, guu_s,
                 *, N: int, nx: int, nu: int, iters: int, mu0: float,
                 alpha_frac: float, reg: float, s_min: float, mu_min: float,
                 sigma_max: float, lam_max: float, eps_s: float,
-                stream_p: bool, stream_big: bool, chunk: int):
+                stream_p: bool, stream_big: bool, chunk: int, soft: bool,
+                warm_on: bool):
     """NOTE on naming: slx_s..lam_uu_s are OUTPUT refs (warm-start outputs)
     doubling as the iterate's slack/dual state; the wslx_ref.. inputs are
     aliased onto them and must only be read before the init pass writes.
-    dx_out/du_out double as the best-iterate buffers (VMEM economy)."""
+    dx_out/du_out double as the best-iterate buffers (VMEM economy).
+
+    SOFT BOUNDS (static flag `soft`; acados ns>0 analog, same stage-wise
+    elimination as qp/soft.py): each bound group gains a violation pair
+    (t, gam) with penalty cost z*t + Z/2 t^2. Hard entries carry the
+    sentinel Z = 1e18, which makes the eliminated barrier weight
+    sig_eff = sig_s (Z + sig_t)/(Z + sig_s + sig_t) collapse to sig_s
+    EXACTLY in f32 (1e18 + 1e7 rounds to 1e18) — the Riccati
+    factorization is uniform; only the t/gam state, the RHS w-correction
+    and the extra fraction-to-boundary ratios are sm-gated. soft=False
+    compiles the identical hard kernel (all extra refs are dummies)."""
     f32 = jnp.float32
     Bt = dx0_ref.shape[-1]
 
@@ -328,19 +355,82 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     def m_hi(b):
         return (b < _MTHR).astype(f32)
 
-    use_warm = wvalid_ref[0] > 0.5                   # (B,) bool
+    if warm_on:
+        use_warm = wvalid_ref[0] > 0.5               # (B,) bool
 
-    # per-entry isfinite guard: a single NaN/inf in a previous tick's
-    # slacks/duals must fall back to the cold init, not poison the chain
-    def blend_s(w, cold, mask):
-        w = jnp.clip(w, s_min * 1e-2, _BIG)
-        ok = use_warm[None, :] & (mask > 0.5) & jnp.isfinite(w)
-        return jnp.where(ok, w, cold)
+        # per-entry isfinite guard: a single NaN/inf in a previous tick's
+        # slacks/duals must fall back to the cold init, not poison the chain
+        def blend_s(w, cold, mask):
+            w = jnp.clip(w, s_min * 1e-2, _BIG)
+            ok = use_warm[None, :] & (mask > 0.5) & jnp.isfinite(w)
+            return jnp.where(ok, w, cold)
 
-    def blend_l(w, cold, mask):
-        w = jnp.maximum(jnp.clip(w, 0.0, lam_max), 1e-8)
-        ok = use_warm[None, :] & (mask > 0.5) & jnp.isfinite(w)
-        return jnp.where(ok, w, cold)
+        def blend_l(w, cold, mask):
+            w = jnp.maximum(jnp.clip(w, 0.0, lam_max), 1e-8)
+            ok = use_warm[None, :] & (mask > 0.5) & jnp.isfinite(w)
+            return jnp.where(ok, w, cold)
+    else:  # cold path: the warm refs are dummies — never read them
+        def blend_s(w, cold, mask):
+            return cold
+
+        def blend_l(w, cold, mask):
+            return cold
+
+    # ---- bound-group descriptors (trace-time tuple) ---------------------
+    # index: 0 bound ref, 1 sign (+1 lower/-1 upper), 2 mask fn, 3 slack,
+    # 4 dual, 5 violation t, 6 violation dual gam, 7 quad penalty Z,
+    # 8 linear penalty z, 9 is-state-group. The per-group IPM algebra is
+    # written ONCE below and unrolled over this tuple at trace time.
+    GROUPS = (
+        (lbx_ref, 1.0, m_lo, slx_s, lam_lx_s, tlx_s, glx_s,
+         Zlx_ref, zlx_ref, True),
+        (ubx_ref, -1.0, m_hi, sux_s, lam_ux_s, tux_s, gux_s,
+         Zux_ref, zux_ref, True),
+        (lbu_ref, 1.0, m_lo, slu_s, lam_lu_s, tlu_s, glu_s,
+         Zlu_ref, zlu_ref, False),
+        (ubu_ref, -1.0, m_hi, suu_s, lam_uu_s, tuu_s, guu_s,
+         Zuu_ref, zuu_ref, False),
+    )
+
+    def g_mask(g, k):
+        return g[2](g[0][k])
+
+    def g_sm(g, k, m):
+        """Soft mask: finite bound AND a non-sentinel quadratic penalty."""
+        return m * (g[7][k] < _MTHR).astype(f32)
+
+    def g_dval(g, k, ddx_ref, ddu_ref):
+        return ddx_ref[k + 1] if g[9] else ddu_ref[k]
+
+    def g_rs(g, k, m):
+        """Slack residual s - (sgn (v - b) + t); t enters on soft rows."""
+        gap = g[1] * ((dx_s[k + 1] if g[9] else du_s[k]) - g[0][k])
+        if soft:
+            gap = gap + jnp.where(g_sm(g, k, m) > 0.5, g[5][k], 0.0)
+        return g[3][k] - gap
+
+    def g_sig(g, k, m):
+        """(sig_s capped, sig_eff uncapped-sum-ready, den) of one group.
+
+        sig_eff = sig_s (Z + sig_t)/(Z + sig_s + sig_t): exact sig_s on
+        hard rows (Z = 1e18 absorbs the 1e7-capped sigmas in f32)."""
+        sig_s = jnp.minimum(m * g[4][k] / g[3][k], sigma_max)
+        if not soft:
+            return sig_s, sig_s, None
+        sig_t = g[6][k] / g[5][k]          # 0 on hard rows (gam=0, t=BIG)
+        den = g[7][k] + sig_s + sig_t
+        return sig_s, sig_s * (g[7][k] + sig_t) / den, den
+
+    def g_w(g, k, m, sm, Ts, Tt, sig_s):
+        """Soft elimination scalar w (qp/soft.py rhs_w); 0 on hard rows.
+        Hard-row arithmetic hits Z*t ~ 1e38 -> inf, masked off by the
+        where (no NaNs: inf never meets inf with these signs)."""
+        s, lam, t, gam = g[3][k], g[4][k], g[5][k], g[6][k]
+        r_t = g[8][k] + g[7][k] * t - lam - gam
+        w = (-r_t + (Ts / s - lam) + (Tt / t - gam)
+             + sig_s * g_rs(g, k, m))
+        return jnp.where(sm > 0.5, w, 0.0)
+
 
     # ---- initial point: rollout (du=0) + mask-aware 10%-inset clamp,
     # centered slacks/duals, then warm blend (reads the aliased warm
@@ -354,15 +444,41 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         hi = jnp.where(mu_ > 0.5, ub - 0.1 * w, _BIG)
         return jnp.clip(v, lo, jnp.maximum(hi, lo))
 
+    def _soft_init(g, k, m, v):
+        """(t, gam, t_eff) of one group at the initial point: O(1)-offset
+        violation slack on soft rows (qp/soft.py init_group), inert
+        (BIG, 0) on hard rows."""
+        sm = g_sm(g, k, m)
+        gap = g[1] * (v - g[0][k])
+        t = jnp.where(sm > 0.5, jnp.maximum(-gap, 0.0) + 0.1, _BIG)
+        gam = jnp.where(sm > 0.5, mu0 / t, 0.0)
+        g[5][k] = t
+        g[6][k] = gam
+        return jnp.where(sm > 0.5, t, 0.0)
+
+    def _hard_only(g, k, m):
+        """Mask of rows the init clamp may push inside: hard rows only
+        (soft rows may start in violation — their t covers it)."""
+        if not soft:
+            return m
+        return m * (1.0 - g_sm(g, k, m))
+
     def init_roll(k, get, put, _):
         A_k, B_k = get("AB")
         nxt = _matvec(A_k, dx_s[k]) + c_ref[k]
         lb, ub = lbx_ref[k], ubx_ref[k]
         mlx, mux = m_lo(lb), m_hi(ub)
-        nxt = clamp_into(nxt, lb, ub, mlx, mux)
+        nxt = clamp_into(nxt, lb, ub, _hard_only(GROUPS[0], k, mlx),
+                         _hard_only(GROUPS[1], k, mux))
         dx_s[k + 1] = nxt
-        c_slx = jnp.where(mlx > 0.5, jnp.maximum(nxt - lb, s_min), _BIG)
-        c_sux = jnp.where(mux > 0.5, jnp.maximum(ub - nxt, s_min), _BIG)
+        tlx = tux = tlu = tuu = 0.0
+        if soft:
+            tlx = _soft_init(GROUPS[0], k, mlx, nxt)
+            tux = _soft_init(GROUPS[1], k, mux, nxt)
+        c_slx = jnp.where(mlx > 0.5,
+                          jnp.maximum(nxt - lb + tlx, s_min), _BIG)
+        c_sux = jnp.where(mux > 0.5,
+                          jnp.maximum(ub - nxt + tux, s_min), _BIG)
         c_llx = jnp.where(mlx > 0.5, mu0 / c_slx, 0.0)
         c_lux = jnp.where(mux > 0.5, mu0 / c_sux, 0.0)
         slx_s[k] = blend_s(wslx_ref[k], c_slx, mlx)
@@ -374,10 +490,17 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
         lbu_k, ubu_k = lbu_ref[k], ubu_ref[k]
         mlu, muu = m_lo(lbu_k), m_hi(ubu_k)
-        du_k = clamp_into(jnp.zeros((nu, Bt), f32), lbu_k, ubu_k, mlu, muu)
+        du_k = clamp_into(jnp.zeros((nu, Bt), f32), lbu_k, ubu_k,
+                          _hard_only(GROUPS[2], k, mlu),
+                          _hard_only(GROUPS[3], k, muu))
         du_s[k] = du_k
-        c_slu = jnp.where(mlu > 0.5, jnp.maximum(du_k - lbu_k, s_min), _BIG)
-        c_suu = jnp.where(muu > 0.5, jnp.maximum(ubu_k - du_k, s_min), _BIG)
+        if soft:
+            tlu = _soft_init(GROUPS[2], k, mlu, du_k)
+            tuu = _soft_init(GROUPS[3], k, muu, du_k)
+        c_slu = jnp.where(mlu > 0.5,
+                          jnp.maximum(du_k - lbu_k + tlu, s_min), _BIG)
+        c_suu = jnp.where(muu > 0.5,
+                          jnp.maximum(ubu_k - du_k + tuu, s_min), _BIG)
         c_llu = jnp.where(mlu > 0.5, mu0 / c_slu, 0.0)
         c_luu = jnp.where(muu > 0.5, mu0 / c_suu, 0.0)
         slu_s[k] = blend_s(wslu_ref[k], c_slu, mlu)
@@ -390,28 +513,60 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
     sweep(init_roll, 0, reverse=False, ab=True)
 
-    # per-problem inequality count from the derived masks
+    # per-problem complementarity-pair count from the derived masks
+    # (soft rows contribute their (t, gam) pair as well)
     def count_ineq(k, acc):
-        return (acc
-                + jnp.sum(m_lo(lbx_ref[k]), axis=0)
-                + jnp.sum(m_hi(ubx_ref[k]), axis=0)
-                + jnp.sum(m_lo(lbu_ref[k]), axis=0)
-                + jnp.sum(m_hi(ubu_ref[k]), axis=0))
+        total = (jnp.sum(m_lo(lbx_ref[k]), axis=0)
+                 + jnp.sum(m_hi(ubx_ref[k]), axis=0)
+                 + jnp.sum(m_lo(lbu_ref[k]), axis=0)
+                 + jnp.sum(m_hi(ubu_ref[k]), axis=0))
+        if soft:
+            total = total + (
+                jnp.sum(m_lo(lbx_ref[k]) * (Zlx_ref[k] < _MTHR), axis=0)
+                + jnp.sum(m_hi(ubx_ref[k]) * (Zux_ref[k] < _MTHR), axis=0)
+                + jnp.sum(m_lo(lbu_ref[k]) * (Zlu_ref[k] < _MTHR), axis=0)
+                + jnp.sum(m_hi(ubu_ref[k]) * (Zuu_ref[k] < _MTHR),
+                          axis=0))
+        return acc + total
 
     n_ineq = jnp.maximum(
         jax.lax.fori_loop(0, N, count_ineq, jnp.zeros((Bt,), f32)), 1.0)
 
     def comp_sum():
         def body(k, acc):
-            return (acc
-                    + jnp.sum(m_lo(lbx_ref[k]) * slx_s[k] * lam_lx_s[k],
-                              axis=0)
-                    + jnp.sum(m_hi(ubx_ref[k]) * sux_s[k] * lam_ux_s[k],
-                              axis=0)
-                    + jnp.sum(m_lo(lbu_ref[k]) * slu_s[k] * lam_lu_s[k],
-                              axis=0)
-                    + jnp.sum(m_hi(ubu_ref[k]) * suu_s[k] * lam_uu_s[k],
-                              axis=0))
+            acc = (acc
+                   + jnp.sum(m_lo(lbx_ref[k]) * slx_s[k] * lam_lx_s[k],
+                             axis=0)
+                   + jnp.sum(m_hi(ubx_ref[k]) * sux_s[k] * lam_ux_s[k],
+                             axis=0)
+                   + jnp.sum(m_lo(lbu_ref[k]) * slu_s[k] * lam_lu_s[k],
+                             axis=0)
+                   + jnp.sum(m_hi(ubu_ref[k]) * suu_s[k] * lam_uu_s[k],
+                             axis=0))
+            if soft:
+                # hard rows are inert by construction: t = BIG, gam = 0
+                acc = acc + (jnp.sum(tlx_s[k] * glx_s[k], axis=0)
+                             + jnp.sum(tux_s[k] * gux_s[k], axis=0)
+                             + jnp.sum(tlu_s[k] * glu_s[k], axis=0)
+                             + jnp.sum(tuu_s[k] * guu_s[k], axis=0))
+            return acc
+        return jax.lax.fori_loop(0, N, body, jnp.zeros((Bt,), f32))
+
+    def soft_rt_max():
+        """max |z + Z t - lam - gam| over soft rows (soft stationarity,
+        part of the best-iterate merit exactly as in qp/soft.py)."""
+        if not soft:
+            return jnp.zeros((Bt,), f32)
+
+        def body(k, acc):
+            for g in GROUPS:
+                m = g_mask(g, k)
+                sm = g_sm(g, k, m)
+                r_t = jnp.where(sm > 0.5,
+                                g[8][k] + g[7][k] * g[5][k]
+                                - g[4][k] - g[6][k], 0.0)
+                acc = jnp.maximum(acc, jnp.max(jnp.abs(r_t), axis=0))
+            return acc
         return jax.lax.fori_loop(0, N, body, jnp.zeros((Bt,), f32))
 
     def kkt():
@@ -451,24 +606,16 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     st0, eq0 = kkt()
     dx_out[...] = dx_s[...]
     du_out[...] = du_s[...]
-    bm_s[...] = (st0 + eq0 + comp_sum() / n_ineq)[None, :]
-
-    # per-stage inline helpers -------------------------------------------
-    def rs_x(k):
-        return (slx_s[k] - (dx_s[k + 1] - lbx_ref[k]),
-                sux_s[k] - (ubx_ref[k] - dx_s[k + 1]))
-
-    def rs_u(k):
-        return (slu_s[k] - (du_s[k] - lbu_ref[k]),
-                suu_s[k] - (ubu_ref[k] - du_s[k]))
+    bm_s[...] = (st0 + eq0 + soft_rt_max()
+                 + comp_sum() / n_ineq)[None, :]
 
     def _stage_factor(P, k, A_k, B_k):
         """One backward Riccati stage: P_{k+1} -> (P_k, Z_k, Hinv_k)."""
         PA = _contractT(P, A_k)                    # P'A = PA (sym)
         PB = _contractT(P, B_k)
         sig_u = jnp.minimum(
-            m_lo(lbu_ref[k]) * lam_lu_s[k] / slu_s[k]
-            + m_hi(ubu_ref[k]) * lam_uu_s[k] / suu_s[k], sigma_max)
+            g_sig(GROUPS[2], k, g_mask(GROUPS[2], k))[1]
+            + g_sig(GROUPS[3], k, g_mask(GROUPS[3], k))[1], sigma_max)
         Huu = (_contractT(B_k, PB) + R1_ref[...] + reg * eye_u
                + sig_u[:, None, :] * eye_u)
         Hux = _contractT(B_k, PA)                  # (nu, nx, B)
@@ -477,8 +624,8 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         Pk = Qs_ref[...] + _contractT(A_k, PA) - _contractT(Hux, Z)
         km1 = jnp.maximum(k - 1, 0)
         sig_x = jnp.minimum(
-            m_lo(lbx_ref[km1]) * lam_lx_s[km1] / slx_s[km1]
-            + m_hi(ubx_ref[km1]) * lam_ux_s[km1] / sux_s[km1], sigma_max)
+            g_sig(GROUPS[0], km1, g_mask(GROUPS[0], km1))[1]
+            + g_sig(GROUPS[1], km1, g_mask(GROUPS[1], km1))[1], sigma_max)
         sig_x = jnp.where(k >= 1, sig_x, 0.0)
         Pk = Pk + sig_x[:, None, :] * eye_x
         Pk = 0.5 * (Pk + jnp.swapaxes(Pk, 0, 1))
@@ -486,8 +633,8 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
     def _terminal_P():
         sigN = jnp.minimum(
-            m_lo(lbx_ref[N - 1]) * lam_lx_s[N - 1] / slx_s[N - 1]
-            + m_hi(ubx_ref[N - 1]) * lam_ux_s[N - 1] / sux_s[N - 1],
+            g_sig(GROUPS[0], N - 1, g_mask(GROUPS[0], N - 1))[1]
+            + g_sig(GROUPS[1], N - 1, g_mask(GROUPS[1], N - 1))[1],
             sigma_max)
         return Qt_ref[...] + sigN[:, None, :] * eye_x
 
@@ -513,8 +660,24 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
         sweep(bwd, PN, reverse=True, ab=True, p_write=True, z_write=True)
 
+    def g_b(g, k, Ts, Tt):
+        """RHS forcing of one group (sgn folded): the hard-bound
+        -sgn (T/s + sig_s r_s) plus the soft +sgn sig_s w / den
+        correction. lam/s and T/s capped at sigma_max, mirroring
+        qp/ipm.py: uncapped 1e12+ factors near degenerate bounds
+        overflow the f32 Riccati products to inf and NaN the iterate."""
+        m = g_mask(g, k)
+        rs = g_rs(g, k, m)
+        sig_s, _, den = g_sig(g, k, m)
+        b = (jnp.clip(Ts / g[3][k], -sigma_max, sigma_max)
+             + sig_s * rs)
+        if soft:
+            sm = g_sm(g, k, m)
+            b = b - sm * sig_s * g_w(g, k, m, sm, Ts, Tt, sig_s) / den
+        return -g[1] * m * b
+
     def rhs_grads(targets):
-        """Build qr_s/rr_s. targets(k) -> (Tlx, Tux, Tlu, Tuu) per stage.
+        """Build qr_s/rr_s. targets(k) -> ((Ts x4), (Tt x4)) per stage.
 
         Slack index k carries the bounds of STATE stage k+1 (states are
         bounded at stages 1..N), so bx_k shifts the gradient of stage k+1;
@@ -524,27 +687,11 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         qr_s[0] = _contractT_vec(Qs_ref[...], dx_s[0]) + q_ref[0]
 
         def body(k, _):
-            Tlx, Tux, Tlu, Tuu = targets(k)
-            rlx, rux = rs_x(k)
-            rlu, ruu = rs_u(k)
-
-            def cdiv(T, s):  # centering force, capped like the sigmas
-                return jnp.clip(T / s, -sigma_max, sigma_max)
-            # lam/s capped at sigma_max, mirroring qp/ipm.py: uncapped
-            # 1e12+ factors near degenerate bounds overflow the f32
-            # Riccati products to inf and NaN the iterate systematically
-            bx = m_lo(lbx_ref[k]) * (-cdiv(Tlx, slx_s[k])
-                                     - jnp.minimum(lam_lx_s[k] / slx_s[k],
-                                                   sigma_max) * rlx) \
-                + m_hi(ubx_ref[k]) * (cdiv(Tux, sux_s[k])
-                                      + jnp.minimum(lam_ux_s[k] / sux_s[k],
-                                                    sigma_max) * rux)
-            bu = m_lo(lbu_ref[k]) * (-cdiv(Tlu, slu_s[k])
-                                     - jnp.minimum(lam_lu_s[k] / slu_s[k],
-                                                   sigma_max) * rlu) \
-                + m_hi(ubu_ref[k]) * (cdiv(Tuu, suu_s[k])
-                                      + jnp.minimum(lam_uu_s[k] / suu_s[k],
-                                                    sigma_max) * ruu)
+            Ts, Tt = targets(k)
+            bx = g_b(GROUPS[0], k, Ts[0], Tt[0]) \
+                + g_b(GROUPS[1], k, Ts[1], Tt[1])
+            bu = g_b(GROUPS[2], k, Ts[2], Tt[2]) \
+                + g_b(GROUPS[3], k, Ts[3], Tt[3])
             is_term = (k + 1 == N)
             g_stage = _contractT_vec(Qs_ref[...], dx_s[k + 1]) + q_ref[k + 1]
             g_term = _contractT_vec(Qt_ref[...], dx_s[k + 1]) + q_ref[k + 1]
@@ -582,35 +729,36 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         sweep(fwd, 0, reverse=False, ab=True, z_read=True)
 
     # The stage-k x bounds apply to dx[k+1] (stages 1..N); slack index k.
-    def slack_dirs(k, ddx_ref, ddu_ref):
-        """(dslx, dsux, dslu, dsuu) for the directions in ddx/ddu_ref.
+    def group_dirs(g, k, Ts, Tt, ddx_ref, ddu_ref):
+        """(ds, dlam, dt, dgam) of one group for the newton directions in
+        ddx/ddu_ref. Masked-out (infinite) bounds get exactly-zero
+        directions, so the BIG slacks / zero duals stay fixed points.
+        Dual divides clamped to +-1e12: with s at the eps floor the raw
+        divide reaches inf, and a_d*inf with a collapsed dual step
+        (a_d = 0) is NaN (same guard as qp/ipm.py)."""
+        m = g_mask(g, k)
+        rs = g_rs(g, k, m)
+        dv = g[1] * g_dval(g, k, ddx_ref, ddu_ref)
+        s, lam = g[3][k], g[4][k]
+        if soft:
+            sm = g_sm(g, k, m)
+            sig_s, _, den = g_sig(g, k, m)
+            w = g_w(g, k, m, sm, Ts, Tt, sig_s)
+            dt = sm * (w - sig_s * dv) / den
+            t, gam = g[5][k], g[6][k]
+            dgam = sm * jnp.clip((Tt - t * gam - gam * dt) / t,
+                                 -1e12, 1e12)
+        else:
+            dt = 0.0
+            dgam = None
+        ds = m * (dv + dt - rs)
+        dlam = m * jnp.clip((Ts - s * lam - lam * ds) / s, -1e12, 1e12)
+        return ds, dlam, dt, dgam
 
-        Masked out (infinite) bounds get an exactly-zero direction, so the
-        BIG slacks / zero duals stay fixed points of the update."""
-        rlx, rux = rs_x(k)
-        rlu, ruu = rs_u(k)
-        dz_x = ddx_ref[k + 1]
-        dz_u = ddu_ref[k]
-        return (m_lo(lbx_ref[k]) * (dz_x - rlx),
-                m_hi(ubx_ref[k]) * (-dz_x - rux),
-                m_lo(lbu_ref[k]) * (dz_u - rlu),
-                m_hi(ubu_ref[k]) * (-dz_u - ruu))
-
-    def dual_dirs(k, T, ddx_ref, ddu_ref):
-        # dual divides clamped to +-1e12: with s at the eps floor the raw
-        # divide reaches inf, and a_d*inf with a collapsed dual step
-        # (a_d = 0) is NaN (same guard as qp/ipm.py)
-        Tlx, Tux, Tlu, Tuu = T
-        dslx, dsux, dslu, dsuu = slack_dirs(k, ddx_ref, ddu_ref)
-
-        def dl(m, T_, s, lam, ds):
-            return m * jnp.clip((T_ - s * lam - lam * ds) / s, -1e12, 1e12)
-
-        dllx = dl(m_lo(lbx_ref[k]), Tlx, slx_s[k], lam_lx_s[k], dslx)
-        dlux = dl(m_hi(ubx_ref[k]), Tux, sux_s[k], lam_ux_s[k], dsux)
-        dllu = dl(m_lo(lbu_ref[k]), Tlu, slu_s[k], lam_lu_s[k], dslu)
-        dluu = dl(m_hi(ubu_ref[k]), Tuu, suu_s[k], lam_uu_s[k], dsuu)
-        return (dslx, dsux, dslu, dsuu, dllx, dlux, dllu, dluu)
+    def all_dirs(k, targets, ddx_ref, ddu_ref):
+        Ts, Tt = targets(k)
+        return tuple(group_dirs(g, k, Ts[i], Tt[i], ddx_ref, ddu_ref)
+                     for i, g in enumerate(GROUPS))
 
     def min_ratio(v, dv, tau, acc):
         r = jnp.where(dv < 0, -tau * v / jnp.where(dv < 0, dv, -1.0), _BIG)
@@ -620,17 +768,13 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         """Fraction-to-boundary over all stages with on-the-fly dirs."""
         def body(k, carry):
             a_p, a_d = carry
-            (dslx, dsux, dslu, dsuu,
-             dllx, dlux, dllu, dluu) = dual_dirs(k, targets(k),
-                                                 ddx_ref, ddu_ref)
-            a_p = min_ratio(slx_s[k], dslx, tau, a_p)
-            a_p = min_ratio(sux_s[k], dsux, tau, a_p)
-            a_p = min_ratio(slu_s[k], dslu, tau, a_p)
-            a_p = min_ratio(suu_s[k], dsuu, tau, a_p)
-            a_d = min_ratio(lam_lx_s[k], dllx, tau, a_d)
-            a_d = min_ratio(lam_ux_s[k], dlux, tau, a_d)
-            a_d = min_ratio(lam_lu_s[k], dllu, tau, a_d)
-            a_d = min_ratio(lam_uu_s[k], dluu, tau, a_d)
+            dirs = all_dirs(k, targets, ddx_ref, ddu_ref)
+            for (ds, dlam, dt, dgam), g in zip(dirs, GROUPS):
+                a_p = min_ratio(g[3][k], ds, tau, a_p)
+                a_d = min_ratio(g[4][k], dlam, tau, a_d)
+                if soft:
+                    a_p = min_ratio(g[5][k], dt, tau, a_p)
+                    a_d = min_ratio(g[6][k], dgam, tau, a_d)
             return (a_p, a_d)
 
         ones = jnp.ones((Bt,), f32)
@@ -652,30 +796,29 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         zu = jnp.zeros((nu, Bt), f32)
 
         def zero_targets(k):
-            return (zx, zx, zu, zu)
+            return (zx, zx, zu, zu), (zx, zx, zu, zu)
 
         rhs_grads(zero_targets)
         solve_rhs(ddxa_s, ddua_s)
 
         def aff_dirs(k):
-            return dual_dirs(k, zero_targets(k), ddxa_s, ddua_s)
+            return all_dirs(k, zero_targets, ddxa_s, ddua_s)
 
         a_p_aff, a_d_aff = alphas_from(zero_targets, 1.0, ddxa_s, ddua_s)
 
         def mu_aff_sum(k, acc):
             ap = a_p_aff[None, :]
             ad = a_d_aff[None, :]
-            (aslx, asux, aslu, asuu,
-             allx, alux, allu, aluu) = aff_dirs(k)
-            return (acc
-                    + jnp.sum(m_lo(lbx_ref[k]) * (slx_s[k] + ap * aslx)
-                              * (lam_lx_s[k] + ad * allx), axis=0)
-                    + jnp.sum(m_hi(ubx_ref[k]) * (sux_s[k] + ap * asux)
-                              * (lam_ux_s[k] + ad * alux), axis=0)
-                    + jnp.sum(m_lo(lbu_ref[k]) * (slu_s[k] + ap * aslu)
-                              * (lam_lu_s[k] + ad * allu), axis=0)
-                    + jnp.sum(m_hi(ubu_ref[k]) * (suu_s[k] + ap * asuu)
-                              * (lam_uu_s[k] + ad * aluu), axis=0))
+            dirs = aff_dirs(k)
+            for (ds, dlam, dt, dgam), g in zip(dirs, GROUPS):
+                m = g_mask(g, k)
+                acc = acc + jnp.sum(m * (g[3][k] + ap * ds)
+                                    * (g[4][k] + ad * dlam), axis=0)
+                if soft:
+                    sm = g_sm(g, k, m)
+                    acc = acc + jnp.sum(sm * (g[5][k] + ap * dt)
+                                        * (g[6][k] + ad * dgam), axis=0)
+            return acc
 
         mu_aff = jax.lax.fori_loop(0, N, mu_aff_sum,
                                    jnp.zeros((Bt,), f32)) / n_ineq
@@ -683,14 +826,17 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                          0.0, 1.0)
         mu_t = jnp.maximum(sigma * mu_cur, mu_min)[None, :]   # (1, B)
 
-        def clip_t(ds, dl):
-            return jnp.clip(mu_t - ds * dl, 0.05 * mu_t, 20.0 * mu_t)
+        def clip_t(dv1, dv2):
+            return jnp.clip(mu_t - dv1 * dv2, 0.05 * mu_t, 20.0 * mu_t)
 
         def cor_targets(k):
-            (aslx, asux, aslu, asuu,
-             allx, alux, allu, aluu) = aff_dirs(k)
-            return (clip_t(aslx, allx), clip_t(asux, alux),
-                    clip_t(aslu, allu), clip_t(asuu, aluu))
+            dirs = aff_dirs(k)
+            Ts = tuple(clip_t(ds, dlam) for ds, dlam, _, _ in dirs)
+            if soft:
+                Tt = tuple(clip_t(dt, dgam) for _, _, dt, dgam in dirs)
+            else:
+                Tt = (zx, zx, zu, zu)
+            return Ts, Tt
 
         # ---- corrector ----
         rhs_grads(cor_targets)
@@ -701,25 +847,21 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
         # ---- update (per stage; stage-0 state pinned) ----
         def update(k, _):
-            T = cor_targets(k)
-            (dslx, dsux, dslu, dsuu,
-             dllx, dlux, dllu, dluu) = dual_dirs(k, T, ddx_s, ddu_s)
+            dirs = all_dirs(k, cor_targets, ddx_s, ddu_s)
             dx_s[k + 1] = dx_s[k + 1] + ap * ddx_s[k + 1]
             du_s[k] = du_s[k] + ap * ddu_s[k]
-            slx_s[k] = jnp.maximum(slx_s[k] + ap * dslx, eps_s)
-            sux_s[k] = jnp.maximum(sux_s[k] + ap * dsux, eps_s)
-            slu_s[k] = jnp.maximum(slu_s[k] + ap * dslu, eps_s)
-            suu_s[k] = jnp.maximum(suu_s[k] + ap * dsuu, eps_s)
-            lam_lx_s[k] = jnp.clip(lam_lx_s[k] + ad * dllx, 0.0, lam_max)
-            lam_ux_s[k] = jnp.clip(lam_ux_s[k] + ad * dlux, 0.0, lam_max)
-            lam_lu_s[k] = jnp.clip(lam_lu_s[k] + ad * dllu, 0.0, lam_max)
-            lam_uu_s[k] = jnp.clip(lam_uu_s[k] + ad * dluu, 0.0, lam_max)
+            for (ds, dlam, dt, dgam), g in zip(dirs, GROUPS):
+                g[3][k] = jnp.maximum(g[3][k] + ap * ds, eps_s)
+                g[4][k] = jnp.clip(g[4][k] + ad * dlam, 0.0, lam_max)
+                if soft:
+                    g[5][k] = jnp.maximum(g[5][k] + ap * dt, eps_s)
+                    g[6][k] = jnp.clip(g[6][k] + ad * dgam, 0.0, lam_max)
             return 0
 
         jax.lax.fori_loop(0, N, update, 0)
 
         st, eq = kkt()
-        m = st + eq + comp_sum() / n_ineq                # (B,)
+        m = st + eq + soft_rt_max() + comp_sum() / n_ineq   # (B,)
         better = (m < bm_s[0])[None, None, :]
         dx_out[...] = jnp.where(better, dx_s[...], dx_out[...])
         du_out[...] = jnp.where(better, du_s[...], du_out[...])
@@ -748,7 +890,7 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                         interpret: bool = False,
                         stream_p: bool | None = None,
                         stream_big: bool | None = None,
-                        warm=None) -> QPSolution:
+                        warm=None, soft=None) -> QPSolution:
     """Batched QP solve. `data` fields carry a LEADING batch axis (B, ...).
 
     Requirements (the RTI/LINEAR_LS structure): stage cost Hessians
@@ -780,6 +922,16 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     NOTE: per-tick cold starts are the deployed default (see
     `sqp/rti.py::rti_step_warm` caveat).
 
+    soft: optional `qp.soft.SoftBounds` — per-component soft box bounds
+    (acados ns>0 analog) solved IN-KERNEL via the same stage-wise
+    elimination as `qp/soft.py` (hard rows carry the Z=1e18 sentinel, so
+    the modified barrier weight collapses to the hard formula exactly in
+    f32). Fields may be unbatched (N, nx|nu) (broadcast over the batch)
+    or carry a leading (B,) axis. Soft solves do not support slack/dual
+    warm starts (the violation pairs are not carried), and they lower
+    the VMEM-residency threshold to N<=20 (the t/gam state plus the
+    penalty inputs cost ~2.8 MB at N=30).
+
     `mu` in the result carries the best KKT merit (stat+eq+comp) per
     problem; kkt_stat/kkt_eq are folded into it.
 
@@ -791,15 +943,10 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     should compare `mu` (same definition in both) or re-derive
     stationarity host-side from the returned duals.
     """
-    if warm is None:
-        from mpc_blaster_tpu.qp.ipm import IpmWarmStart
-        B = data.A.shape[0]
-        N, nx, nu = data.A.shape[1], data.A.shape[-1], data.B.shape[-1]
-        zx = jnp.zeros((B, N, nx), jnp.float32)
-        zu = jnp.zeros((B, N, nu), jnp.float32)
-        warm = IpmWarmStart(zx, zx, zx, zx, zu, zu, zu, zu,
-                            jnp.zeros((B,), jnp.float32))
-    return _pallas_box_qp_solve(data, warm, iters=iters, mu0=mu0,
+    if soft is not None and warm is not None:
+        raise ValueError("soft bounds do not support slack/dual warm "
+                         "starts (violation pairs are not carried)")
+    return _pallas_box_qp_solve(data, warm, soft, iters=iters, mu0=mu0,
                                 alpha_frac=alpha_frac, reg=reg,
                                 interpret=interpret, stream_p=stream_p,
                                 stream_big=stream_big)
@@ -808,7 +955,7 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
 @functools.partial(jax.jit, static_argnames=("iters", "mu0", "alpha_frac",
                                              "reg", "interpret", "stream_p",
                                              "stream_big"))
-def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
+def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
                          alpha_frac: float, reg: float,
                          interpret: bool, stream_p: bool | None,
                          stream_big: bool | None) -> QPSolution:
@@ -844,23 +991,59 @@ def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
     lbu = prep(san(data.lbu, True))
     ubu = prep(san(data.ubu, False))
     dx0 = prep(data.dx0)
-    wvalid = prep(jnp.reshape(warm.valid, (B, 1)))
-    wslx = prep(warm.s_lx)
-    wsux = prep(warm.s_ux)
-    wllx = prep(warm.lam_lx)
-    wlux = prep(warm.lam_ux)
-    wslu = prep(warm.s_lu)
-    wsuu = prep(warm.s_uu)
-    wllu = prep(warm.lam_lu)
-    wluu = prep(warm.lam_uu)
+    warm_on = warm is not None
+    T_tiles0 = AB.shape[0]
+    if warm_on:
+        wvalid = prep(jnp.reshape(warm.valid, (B, 1)))
+        wslx = prep(warm.s_lx)
+        wsux = prep(warm.s_ux)
+        wllx = prep(warm.lam_lx)
+        wlux = prep(warm.lam_ux)
+        wslu = prep(warm.s_lu)
+        wsuu = prep(warm.s_uu)
+        wllu = prep(warm.lam_lu)
+        wluu = prep(warm.lam_uu)
+    else:
+        # cold solve: tiny dummies, never read by the kernel (warm_on
+        # gates the blend at trace time). Distinct buffers matter less
+        # now that nothing is aliased, but keep them cheap.
+        wdum = jnp.zeros((T_tiles0, 1, LANES), f32)
+        wvalid = wslx = wsux = wllx = wlux = wdum
+        wslu = wsuu = wllu = wluu = wdum
+
+    soft_on = soft is not None
+    T_tiles = T_tiles0
+    if soft_on:
+        def pen_in(pen, b):
+            """Sanitized penalty inputs: hard rows carry the Z sentinel
+            (sig_eff collapses to sig_s exactly), z = 0."""
+            Z, z, sm = pen.Z, pen.z, pen.soft
+            if Z.ndim == 2:  # unbatched spec: broadcast over the batch
+                Z, z, sm = (jnp.broadcast_to(a[None], (B,) + a.shape)
+                            for a in (Z, z, sm))
+            smask = sm & jnp.isfinite(b)
+            return (prep(jnp.where(smask, Z, _BIGB)),
+                    prep(jnp.where(smask, z, 0.0)))
+
+        Zlx_in, zlx_in = pen_in(soft.lx, data.lbx[:, 1:])
+        Zux_in, zux_in = pen_in(soft.ux, data.ubx[:, 1:])
+        Zlu_in, zlu_in = pen_in(soft.lu, data.lbu)
+        Zuu_in, zuu_in = pen_in(soft.uu, data.ubu)
+    else:
+        dummy = jnp.zeros((T_tiles, 1, LANES), f32)
+        Zlx_in = zlx_in = Zux_in = zux_in = dummy
+        Zlu_in = zlu_in = Zuu_in = zuu_in = dummy
 
     mu_min, s_min = 1e-7, 1e-3
     sigma_max, lam_max, eps_s = 1e7, 1e7, 1e-9
     if stream_p is None:
-        # N=30 fully VMEM-resident compiles and runs on v5e (~14 MB incl.
-        # stack) and is 2x faster end to end than streaming (measured:
-        # rt6 N=30 0.80 ms resident vs 1.50 ms streamed); stream beyond.
-        stream_p = N > 30
+        # The P Hessian stack is the VMEM whale ((N+1)*nx*nx*LANES*4 =
+        # 4.6 MB at N=30); past N=20 it streams through HBM in chunked
+        # double-buffered copies (cheap: reads hidden under compute)
+        # while the A/B record and Z gains stay resident to N<=30.
+        # Fully resident N=30 is ~1 MB over the 16 MB scoped budget
+        # (hardware-measured OOM), so N>20 streams P.
+        stream_p = N > 20
     if stream_big is None:
         stream_big = N > 30
     if stream_big:
@@ -878,7 +1061,8 @@ def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
         _ipm_kernel, N=N, nx=nx, nu=nu, iters=iters, mu0=mu0,
         alpha_frac=alpha_frac, reg=reg, s_min=s_min, mu_min=mu_min,
         sigma_max=sigma_max, lam_max=lam_max, eps_s=eps_s,
-        stream_p=stream_p, stream_big=stream_big, chunk=chunk)
+        stream_p=stream_p, stream_big=stream_big, chunk=chunk,
+        soft=soft_on, warm_on=warm_on)
 
     def vspec():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -889,7 +1073,7 @@ def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
     xs = jax.ShapeDtypeStruct((N, nx, LANES), f32)
     us = jax.ShapeDtypeStruct((N, nu, LANES), f32)
     in_specs = ([anyspec() if stream_big else vspec()]
-                + [vspec()] * 20)
+                + [vspec()] * 28)
     out_specs = (vspec(), vspec(), vspec(),
                  anyspec(), anyspec(),
                  vspec(), vspec(), vspec(), vspec(),
@@ -938,19 +1122,21 @@ def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
         pltpu.VMEM((N, nu, LANES), f32),          # rr
         pltpu.VMEM((N, nx, LANES), f32),          # req
     ]
+    tx = ((N, nx, LANES) if soft_on else (1, 1, LANES))
+    tu = ((N, nu, LANES) if soft_on else (1, 1, LANES))
+    scratch += [pltpu.VMEM(tx, f32), pltpu.VMEM(tx, f32),   # tlx glx
+                pltpu.VMEM(tx, f32), pltpu.VMEM(tx, f32),   # tux gux
+                pltpu.VMEM(tu, f32), pltpu.VMEM(tu, f32),   # tlu glu
+                pltpu.VMEM(tu, f32), pltpu.VMEM(tu, f32)]   # tuu guu
 
-    # warm-start inputs (positions 13..20) alias the slack/dual outputs
-    # (positions 5..12): the kernel reads the warm value during init, then
-    # the same buffer carries the iterate and is returned for the next tick.
-    aliases = ({13: 5, 14: 6, 15: 7, 16: 8, 17: 9, 18: 10, 19: 11, 20: 12}
-               if _USE_ALIASES else {})
+    # DELIBERATELY no input_output_aliases: see the module-level NOTE
+    # (CSE'd warm inputs + aliasing = output corruption inside scans).
     call = pl.pallas_call(
         kernel,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        input_output_aliases=aliases,
         interpret=interpret,
     )
 
@@ -959,7 +1145,9 @@ def _pallas_box_qp_solve(data: QPData, warm, iters: int, mu0: float,
 
     outs = jax.lax.map(
         one_tile, (AB, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0,
-                   wvalid, wslx, wsux, wllx, wlux, wslu, wsuu, wllu, wluu))
+                   wvalid, wslx, wsux, wllx, wlux, wslu, wsuu, wllu, wluu,
+                   Zlx_in, zlx_in, Zux_in, zux_in,
+                   Zlu_in, zlu_in, Zuu_in, zuu_in))
     (dx_bl, du_bl, diag, _p_dump, _z_dump,
      oslx, osux, ollx, olux, oslu, osuu, ollu, oluu) = outs
 

@@ -151,6 +151,25 @@ def soft_qp_objective(data: QPData, soft: SoftBounds, dx, du) -> jnp.ndarray:
     return obj
 
 
+def violations_from_primal(data: QPData, soft: SoftBounds, dx, du
+                           ) -> tuple:
+    """(t_lx, t_ux, t_lu, t_uu) implied by a primal point: the violation
+    variable at an optimum equals the actual bound violation (t is only
+    nonzero where the penalized bound is exceeded). Used to report
+    violations for backends that eliminate t in-kernel (ops/pallas_ipm.py)
+    and therefore do not return it."""
+    out = []
+    for v, b, sgn, pen in ((dx[..., 1:, :], data.lbx[..., 1:, :], 1.0,
+                            soft.lx),
+                           (dx[..., 1:, :], data.ubx[..., 1:, :], -1.0,
+                            soft.ux),
+                           (du, data.lbu, 1.0, soft.lu),
+                           (du, data.ubu, -1.0, soft.uu)):
+        sm = pen.soft & jnp.isfinite(b)
+        out.append(jnp.where(sm, jnp.maximum(-sgn * (v - b), 0.0), 0.0))
+    return tuple(out)
+
+
 def soft_box_qp_solve(data: QPData, soft: SoftBounds, iters: int = 12,
                       mu0: float = 1e-1, alpha_frac: float = 0.995,
                       reg: float = 1e-9, s_min: float = 1e-3,

@@ -333,14 +333,39 @@ def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     `soft` is a `qp.soft.SoftBounds` in *delta* units — the box is affine
     in the iterate, so penalties (which are shift-invariant) transfer
     directly. Returns (u0, new_state, diag, violations).
+
+    With `solver.qp_backend == "pallas"` the soft QP runs INSIDE the
+    fused IPM mega-kernel (stage-wise elimination, ops/pallas_ipm.py) —
+    the latency path for soft-bounded deployment; violations are
+    recovered from the returned primal. Other backends use the XLA
+    soft solver (`qp/soft.py`).
     """
-    from mpc_blaster_tpu.qp.soft import soft_box_qp_solve
+    from mpc_blaster_tpu.qp.soft import (SoftQPSolution, soft_box_qp_solve,
+                                         violations_from_primal)
 
     qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
-    res = soft_box_qp_solve(qp, soft, iters=solver.ipm_iters,
-                            mu0=solver.ipm_mu0,
-                            alpha_frac=solver.ipm_alpha_frac,
-                            reg=solver.ipm_reg)
+    if solver.qp_backend == "pallas":
+        from mpc_blaster_tpu.ops.pallas_ipm import (pallas_available,
+                                                    pallas_box_qp_solve)
+        qb = jax.tree.map(lambda a: a[None], qp)
+        solb = pallas_box_qp_solve(qb, iters=solver.ipm_iters,
+                                   mu0=solver.ipm_mu0,
+                                   alpha_frac=solver.ipm_alpha_frac,
+                                   reg=max(solver.ipm_reg, 1e-6),
+                                   interpret=not pallas_available(),
+                                   stream_p=solver.pallas_stream_p,
+                                   stream_big=solver.pallas_stream_big,
+                                   soft=soft)
+        sol = jax.tree.map(lambda a: a[0], solb)
+        t_lx, t_ux, t_lu, t_uu = violations_from_primal(
+            qp, soft, sol.dx, sol.du)
+        res = SoftQPSolution(sol=sol, t_lx=t_lx, t_ux=t_ux,
+                             t_lu=t_lu, t_uu=t_uu)
+    else:
+        res = soft_box_qp_solve(qp, soft, iters=solver.ipm_iters,
+                                mu0=solver.ipm_mu0,
+                                alpha_frac=solver.ipm_alpha_frac,
+                                reg=solver.ipm_reg)
     sol = res.sol
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(

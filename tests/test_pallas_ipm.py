@@ -245,3 +245,95 @@ def test_pallas_ipm_stream_big_matches_resident_interpret():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(a.dx), np.asarray(b.dx),
                                    atol=1e-6)
+
+
+# --------------------------- soft bounds in-kernel -------------------------
+
+def _soft_state_spec(data, Zl=1e3, zl=1e2, idx=(0, 1, 2)):
+    from mpc_blaster_tpu.qp.soft import SoftBounds
+    return SoftBounds.state_bounds(data.horizon, data.nx, data.nu,
+                                   Zl=Zl, zl=zl, idx=np.asarray(idx),
+                                   dtype=jnp.float32)
+
+
+def test_pallas_soft_all_hard_matches_hard_interpret():
+    """An all-hard SoftBounds through the soft kernel == the hard kernel:
+    the Z=1e18 sentinel must collapse sig_eff to sig_s exactly. One
+    iteration is asserted BIT-EXACT (the strongest semantic check);
+    deeper budgets only to objective parity — ~1e-6 f32 reassociation
+    noise amplifies chaotically on transient QPs with saturated bounds
+    (same policy as test_pallas_ipm_matches_xla_interpret)."""
+    from mpc_blaster_tpu.qp.data import qp_objective
+    from mpc_blaster_tpu.qp.soft import SoftBounds, SoftPenalty
+    data = _blaster_qps(B=2, N=8)
+    N_, nx, nu = data.horizon, data.nx, data.nu
+    soft = SoftBounds(lx=SoftPenalty.hard((N_, nx)),
+                      ux=SoftPenalty.hard((N_, nx)),
+                      lu=SoftPenalty.hard((N_, nu)),
+                      uu=SoftPenalty.hard((N_, nu)))
+    a1 = pallas_box_qp_solve(data, iters=1, interpret=True)
+    b1 = pallas_box_qp_solve(data, iters=1, interpret=True, soft=soft)
+    np.testing.assert_array_equal(np.asarray(a1.du), np.asarray(b1.du))
+    np.testing.assert_array_equal(np.asarray(a1.dx), np.asarray(b1.dx))
+    a = pallas_box_qp_solve(data, iters=8, interpret=True)
+    b = pallas_box_qp_solve(data, iters=8, interpret=True, soft=soft)
+    for i in range(2):
+        d_i = jax.tree.map(lambda x, i=i: x[i], data)
+        oa = float(qp_objective(d_i, a.dx[i], a.du[i]))
+        ob = float(qp_objective(d_i, b.dx[i], b.du[i]))
+        assert abs(oa - ob) / max(abs(oa), 1.0) < 5e-3, (i, oa, ob)
+    assert (np.asarray(b.du) >= np.asarray(data.lbu) - 1e-4).all()
+    assert (np.asarray(b.du) <= np.asarray(data.ubu) + 1e-4).all()
+
+
+@pytest.mark.slow
+def test_pallas_soft_matches_xla_interpret():
+    """Soft-bounded kernel vs qp/soft.py on an infeasible-hard problem:
+    x0 outside the position box, soft position bounds absorb it."""
+    from mpc_blaster_tpu.qp.soft import (soft_box_qp_solve,
+                                         soft_qp_objective)
+    data = _blaster_qps(B=2, N=8)
+    # push the initial state 0.5 m outside the x-position box
+    data = data._replace(dx0=data.dx0.at[:, 0].add(2.2))
+    soft = _soft_state_spec(data)
+    kern = pallas_box_qp_solve(data, iters=10, interpret=True, soft=soft)
+    for i in range(2):
+        d1 = jax.tree.map(lambda a, i=i: a[i], data)
+        ref = soft_box_qp_solve(d1, soft, iters=10)
+        ok = float(soft_qp_objective(d1, soft, kern.dx[i], kern.du[i]))
+        ox = float(soft_qp_objective(d1, soft, ref.sol.dx, ref.sol.du))
+        # penalized objectives agree (du itself is weakly determined in
+        # the gimbal subspace; compare objectives, CLAUDE.md)
+        assert abs(ok - ox) <= 2e-3 * abs(ox) + 1e-3, (ok, ox)
+        # both must find a real violation of the UPPER x bound somewhere
+        # (dx0 is pushed +2.2 past the +-1.5 position box; early stages
+        # cannot jump back inside within the dynamics)
+        viol_k = np.asarray(jnp.maximum(
+            kern.dx[i][1:, 0] - d1.ubx[1:, 0], 0.0))
+        viol_x = np.asarray(ref.t_ux[:, 0])
+        assert viol_x.max() > 1e-2  # the hard problem IS infeasible
+        np.testing.assert_allclose(viol_k.max(), viol_x.max(), rtol=0.2)
+
+
+@pytest.mark.slow
+def test_pallas_soft_streamed_matches_resident_interpret():
+    data = _blaster_qps(B=2, N=8)
+    data = data._replace(dx0=data.dx0.at[:, 0].add(2.2))
+    soft = _soft_state_spec(data)
+    a = pallas_box_qp_solve(data, iters=8, interpret=True, soft=soft,
+                            stream_p=False, stream_big=False)
+    b = pallas_box_qp_solve(data, iters=8, interpret=True, soft=soft,
+                            stream_big=True)
+    np.testing.assert_allclose(np.asarray(a.du), np.asarray(b.du),
+                               atol=1e-6)
+
+
+def test_pallas_soft_rejects_warm():
+    from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+    data = _blaster_qps(B=1, N=4)
+    soft = _soft_state_spec(data)
+    warm = IpmWarmStart.zeros(4, data.nx, data.nu)
+    warm = jax.tree.map(lambda a: a[None], warm)
+    with pytest.raises(ValueError, match="warm"):
+        pallas_box_qp_solve(data, iters=2, interpret=True, soft=soft,
+                            warm=warm)
