@@ -346,7 +346,11 @@ def main():
         qspec = build_quad13_spec(qc, dtype=dtype)
         qx0 = hover_state(1.0, dtype)
         qst = init_quad13_rti_state(qc, qx0, dtype)
-        qstep = make_quad13_rti_step(qc, dtype=dtype, jit=False)
+        # the dim-generic Pallas kernel serves the 13-state family too
+        qsv = dataclasses.replace(cfg.SolverConfig(), ipm_iters=6,
+                                  qp_backend=qp_backend)
+        qstep = make_quad13_rti_step(qc, dtype=dtype, jit=False,
+                                     solver=qsv)
 
         @jax.jit
         def qchain(spec_q, st, x):

@@ -340,6 +340,34 @@ def smoke_preset() -> Preset:
     )
 
 
+def deployed_solver(profile: str = "safe") -> SolverConfig:
+    """Hardware-validated deployment solver profiles (bench.py rows,
+    v5e, N=20; all pass the altitude-step transient stress and match or
+    beat the 12-iteration reference-quality figure-8 error):
+
+    - "safe":    cold 6-iteration Pallas ticks — 1786 Hz. The most
+                 conservative profile; mirrors the reference's HPIPM
+                 `qp_solver_warm_start=0` + generous iterations.
+    - "fast":    cold 4-iteration — 2341 Hz at identical measured
+                 quality (fig8 0.0387 vs 0.0388 m, same overshoot).
+    - "fastest": 3-iteration shifted primal-recentered warm chain —
+                 2732 Hz AND the best figure-8 error measured
+                 (0.0324 m). Requires a warm loop (closed_loop /
+                 make_tracking_loop with warm_start=True) so the
+                 slack/dual state threads between ticks.
+    """
+    base = dict(qp_backend="pallas", lin_backend="fused")
+    if profile == "safe":
+        return SolverConfig(ipm_iters=6, **base)
+    if profile == "fast":
+        return SolverConfig(ipm_iters=4, **base)
+    if profile == "fastest":
+        return SolverConfig(ipm_iters=3, warm_mode="primal",
+                            warm_shift=True, **base)
+    raise ValueError(f"unknown deployment profile {profile!r} "
+                     "(expected 'safe', 'fast' or 'fastest')")
+
+
 PRESETS = {
     "simulation": simulation_preset,
     "flight": flight_preset,

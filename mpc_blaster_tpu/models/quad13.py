@@ -138,8 +138,16 @@ def init_quad13_rti_state(c: Quad13Config, x0: jnp.ndarray,
                     ubar=jnp.tile(u_h[None], (c.N, 1)))
 
 
-def make_quad13_rti_step(c: Quad13Config, dtype=jnp.float32, jit: bool = True):
-    """Jitted RTI tick on the quaternion model (same SQP/QP machinery)."""
+def make_quad13_rti_step(c: Quad13Config, dtype=jnp.float32, jit: bool = True,
+                         solver=None):
+    """Jitted RTI tick on the quaternion model (same SQP/QP machinery).
+
+    `solver` (a config.SolverConfig) selects the QP backend: the Pallas
+    IPM mega-kernel is dimension-generic, so
+    SolverConfig(qp_backend="pallas", ipm_iters=6) runs the 13-state
+    quaternion family through the same fused TPU kernel as the BLASTER
+    model (`lin_backend` must stay "jacfwd" — the fused component-form
+    linearizer is BLASTER-specific)."""
     import jax
 
     from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
@@ -148,7 +156,10 @@ def make_quad13_rti_step(c: Quad13Config, dtype=jnp.float32, jit: bool = True):
 
     params = _params(c, dtype)
     F = discrete_dynamics(quad13_ode, c.dt, num_steps=1)
-    solver = cfgmod.SolverConfig()
+    if solver is None:
+        solver = cfgmod.SolverConfig()
+    if solver.lin_backend != "jacfwd":
+        raise ValueError("quad13 supports lin_backend='jacfwd' only")
 
     def step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray):
         return rti_step(spec, state, x0, params, F, solver)

@@ -23,18 +23,20 @@ rank-1 outer products of leading-dim slices (`_contractT`), so each
 the BLASFEO idea (fixed-size panel kernels) mapped to TPU vector lanes
 (SURVEY.md §2.2).
 
-VMEM discipline (the 16 MB budget is the binding constraint, incl. the
-kernel's value stack):
+VMEM discipline (the budget is the physical 128 MiB minus XLA's needs —
+NOT the oft-quoted 16 MB, which is only the compiler's default scoped
+reservation; see the module constants below):
   - one 128-lane batch tile per pallas_call (outer `lax.map` over tiles)
     so input blocks are not double-buffered across grid steps;
   - every stage loop is a `fori_loop` with dynamic ref indexing, so Mosaic
     reuses one stage's worth of stack temporaries;
-  - A and B are PACKED into one (N, nx, nx+nu, LANES) record; for long
-    horizons (`stream_big`, default N > 30) the record plus the Z gain
-    tensor live in HBM and move in double-buffered CHUNKS of C stages
+  - A and B are PACKED into one (N, nx, nx+nu, LANES) record; ALL data
+    stays VMEM-resident while the instance fits the budget (the whole
+    reference envelope N <= 60 does). For very long horizons the record
+    plus the Z gain tensor (`stream_big`) and the P stack (`stream_p`)
+    live in HBM and move in double-buffered CHUNKS of C stages
     (prefetch chunk i+1 while chunk i computes; writes flushed per
-    chunk) — with P streaming (`stream_p`) this is what fits the
-    flagship N=60 problem;
+    chunk);
   - bound masks are DERIVED in-kernel from the sanitized bound values
     (+-inf is encoded as +-1e18 by the host wrapper) instead of being
     carried as four extra mask tensors;
@@ -74,6 +76,16 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 LANES = 128
+# VMEM facts (hardware-probed, round 3): the oft-quoted "16 MB" VMEM
+# budget is XLA's DEFAULT scoped-vmem reservation, not the physical
+# limit — a probe kernel allocates and uses 120 MB of VMEM scratch on
+# this v5e (physical VMEM is 128 MiB; the scaling-book figure). The
+# wrapper below therefore computes the kernel's actual buffer bytes and
+# requests that much (+ stack margin) via CompilerParams; HBM streaming
+# only engages when the RESIDENT estimate exceeds _RESIDENT_BUDGET.
+_RESIDENT_BUDGET = 88 * 1024 * 1024
+_VMEM_STACK_MARGIN = 10 * 1024 * 1024
+_VMEM_CAP = 120 * 1024 * 1024
 _BIG = 1e20     # slack sentinel for masked (infinite) bounds
 _BIGB = 1e18    # finite stand-in for an infinite bound value
 _MTHR = 5e17    # |bound| above this is treated as infinite (mask = 0)
@@ -1013,6 +1025,32 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
 
     soft_on = soft is not None
     T_tiles = T_tiles0
+
+    def _buffer_bytes(sp, sb, c):
+        """Explicit VMEM bytes of one kernel instance (inputs + outputs
+        + scratch) under the given streaming config; the Mosaic value
+        stack (measured ~3-4 MB at these shapes) rides on the margin."""
+        lane = LANES * 4
+        mats = N * nu * nu + 2 * nx * nx            # Hinv, Qs, Qt
+        if sb:
+            mats += 2 * c * (nx * (nx + nu) + nu * nx)
+        else:
+            mats += N * nx * (nx + nu) + N * nu * nx    # AB + Z resident
+        if sp:
+            mats += 2 * c * nx * nx
+        else:
+            mats += (N + 1) * nx * nx                   # P resident
+        vx, vu = (N + 1) * nx, N * nu
+        vecs = (vx * 5 + vu * 5          # dx/ddx/ddxa/qr/q, du/ddu/ddua/rr/r
+                + N * nx * 2 + N * nu    # c, req, r
+                + 2 * N * nx + 2 * N * nu        # bounds
+                + 4 * N * nx + 4 * N * nu        # slack/dual outputs
+                + vx + vu + nx + N * nu)         # dx_out, du_out, dx0, kff
+        if warm_on:
+            vecs += 4 * N * nx + 4 * N * nu
+        if soft_on:
+            vecs += 2 * (4 * N * nx + 4 * N * nu)  # penalties + t/gam
+        return (mats + vecs) * lane
     if soft_on:
         def pen_in(pen, b):
             """Sanitized penalty inputs: hard rows carry the Z sentinel
@@ -1036,26 +1074,34 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
 
     mu_min, s_min = 1e-7, 1e-3
     sigma_max, lam_max, eps_s = 1e7, 1e7, 1e-9
+    # Streaming engages only when the fully-resident instance would not
+    # fit the VMEM budget (see the module-level VMEM facts): first P
+    # streams, then the A/B record + Z gains as well. At the reference's
+    # horizons (N <= 60) everything stays resident.
     if stream_p is None:
-        # The P Hessian stack is the VMEM whale ((N+1)*nx*nx*LANES*4 =
-        # 4.6 MB at N=30); past N=20 it streams through HBM in chunked
-        # double-buffered copies (cheap: reads hidden under compute)
-        # while the A/B record and Z gains stay resident to N<=30.
-        # Fully resident N=30 is ~1 MB over the 16 MB scoped budget
-        # (hardware-measured OOM), so N>20 streams P.
-        stream_p = N > 20
+        stream_p = _buffer_bytes(False, False, 1) > _RESIDENT_BUDGET
     if stream_big is None:
-        stream_big = N > 30
+        stream_big = _buffer_bytes(True, False, 1) > _RESIDENT_BUDGET
     if stream_big:
         stream_p = True  # the long-horizon config streams everything big
 
-    # Stream chunk size: the largest divisor of N up to 4 stages. Chunks
-    # amortize DMA issue latency (count /C) and enable the double-buffered
-    # prefetch; C=1 degenerates to per-stage copies (prime horizons).
-    # Cap 4 keeps the three 2-slot chunk slabs ~3.2 MB at the flagship
-    # dims (the resident side of the N=60 kernel already needs ~12 MB).
-    chunk = max(c for c in range(1, 5) if N % c == 0) \
-        if (stream_p or stream_big) else 1
+    # Stream chunk size: the largest divisor of N up to 4 stages whose
+    # 2-slot slabs stay within ~2.5 MB. Chunks amortize DMA issue
+    # latency (count /C) and enable the double-buffered prefetch; C=1
+    # degenerates to per-stage copies (prime horizons).
+    if stream_p or stream_big:
+        row_bytes = 0
+        if stream_p:
+            row_bytes += nx * nx
+        if stream_big:
+            row_bytes += nx * (nx + nu) + nu * nx
+        row_bytes *= 2 * LANES * 4  # two slots, f32 lanes
+        chunk = max(c for c in range(1, 5)
+                    if N % c == 0 and c * row_bytes <= 2_500_000)
+    else:
+        chunk = 1
+    vmem_limit = min(_buffer_bytes(stream_p, stream_big, chunk)
+                     + _VMEM_STACK_MARGIN, _VMEM_CAP)
 
     kernel = functools.partial(
         _ipm_kernel, N=N, nx=nx, nu=nu, iters=iters, mu0=mu0,
@@ -1131,6 +1177,10 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
 
     # DELIBERATELY no input_output_aliases: see the module-level NOTE
     # (CSE'd warm inputs + aliasing = output corruption inside scans).
+    try:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=int(vmem_limit))
+    except Exception:  # pragma: no cover - param name drift
+        cparams = None
     call = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -1138,6 +1188,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        **({"compiler_params": cparams} if cparams is not None else {}),
     )
 
     def one_tile(args):

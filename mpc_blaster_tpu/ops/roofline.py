@@ -87,10 +87,16 @@ def ipm_kernel_cost(N: int, nx: int, nu: int, iters: int,
     (rhs_grads + bwd + fwd) + alphas/mu_aff + update + kkt (which also
     produces req), plus the one-time init/seed passes.
     """
-    if stream_p is None:
-        stream_p = N > 30
-    if stream_big is None:
-        stream_big = N > 30
+    if stream_p is None or stream_big is None:
+        # mirror ops/pallas_ipm.py: resident while the instance fits the
+        # hardware-probed VMEM budget (per-stage ~0.43 MB at 17/6 dims)
+        per_stage = (nx * (nx + nu) + nx * nx + nu * nx
+                     + 13 * nx + 11 * nu) * LANES * 4
+        resident = per_stage * N <= 88 * 1024 * 1024
+        if stream_p is None:
+            stream_p = not resident
+        if stream_big is None:
+            stream_big = not resident
     if stream_big:
         stream_p = True
 

@@ -145,6 +145,7 @@ def test_oracle_hover_nlp():
     assert abs(f_rti - f_o) <= 1e-6 * max(1.0, abs(f_o)), (f_rti, f_o)
 
 
+@pytest.mark.slow
 def test_oracle_well_posed_all_controls():
     """(b) Same NLP with a well-posed R_swivel: EVERY control component of
     the converged SQP matches the independent optimizer <= 1e-3."""
@@ -158,6 +159,7 @@ def test_oracle_well_posed_all_controls():
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_oracle_active_control_bounds():
     """(c) Thrust saturation: ubu barely above hover forces the upper
     control bound active during the climb; the constrained optimum must

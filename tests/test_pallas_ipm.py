@@ -256,25 +256,36 @@ def _soft_state_spec(data, Zl=1e3, zl=1e2, idx=(0, 1, 2)):
                                    dtype=jnp.float32)
 
 
-def test_pallas_soft_all_hard_matches_hard_interpret():
-    """An all-hard SoftBounds through the soft kernel == the hard kernel:
-    the Z=1e18 sentinel must collapse sig_eff to sig_s exactly. One
-    iteration is asserted BIT-EXACT (the strongest semantic check);
-    deeper budgets only to objective parity — ~1e-6 f32 reassociation
-    noise amplifies chaotically on transient QPs with saturated bounds
-    (same policy as test_pallas_ipm_matches_xla_interpret)."""
-    from mpc_blaster_tpu.qp.data import qp_objective
+def _all_hard_soft(data):
     from mpc_blaster_tpu.qp.soft import SoftBounds, SoftPenalty
-    data = _blaster_qps(B=2, N=8)
     N_, nx, nu = data.horizon, data.nx, data.nu
-    soft = SoftBounds(lx=SoftPenalty.hard((N_, nx)),
+    return SoftBounds(lx=SoftPenalty.hard((N_, nx)),
                       ux=SoftPenalty.hard((N_, nx)),
                       lu=SoftPenalty.hard((N_, nu)),
                       uu=SoftPenalty.hard((N_, nu)))
+
+
+def test_pallas_soft_all_hard_matches_hard_interpret():
+    """An all-hard SoftBounds through the soft kernel == the hard kernel:
+    the Z=1e18 sentinel must collapse sig_eff to sig_s exactly. One
+    iteration is asserted BIT-EXACT — the strongest semantic check (the
+    deep-budget objective-parity variant is the slow sibling below)."""
+    data = _blaster_qps(B=2, N=8)
+    soft = _all_hard_soft(data)
     a1 = pallas_box_qp_solve(data, iters=1, interpret=True)
     b1 = pallas_box_qp_solve(data, iters=1, interpret=True, soft=soft)
     np.testing.assert_array_equal(np.asarray(a1.du), np.asarray(b1.du))
     np.testing.assert_array_equal(np.asarray(a1.dx), np.asarray(b1.dx))
+
+
+@pytest.mark.slow
+def test_pallas_soft_all_hard_deep_budget_interpret():
+    """Deep budgets only to objective parity — ~1e-6 f32 reassociation
+    noise amplifies chaotically on transient QPs with saturated bounds
+    (same policy as test_pallas_ipm_matches_xla_interpret)."""
+    from mpc_blaster_tpu.qp.data import qp_objective
+    data = _blaster_qps(B=2, N=8)
+    soft = _all_hard_soft(data)
     a = pallas_box_qp_solve(data, iters=8, interpret=True)
     b = pallas_box_qp_solve(data, iters=8, interpret=True, soft=soft)
     for i in range(2):

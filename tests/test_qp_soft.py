@@ -228,7 +228,7 @@ def test_rti_step_soft_pallas_backend_matches_xla():
 
     DTYPE = jnp.float32  # the kernel is f32
     preset = cfg.simulation_preset()
-    ocp = dataclasses.replace(preset.ocp, N=10, Tf=10 / 30.0)
+    ocp = dataclasses.replace(preset.ocp, N=8, Tf=8 / 30.0)
     x0 = np.zeros(cfg.NX)
     x0[0] = 2.4
     x0[2] = 2.0
@@ -243,7 +243,7 @@ def test_rti_step_soft_pallas_backend_matches_xla():
     outs = {}
     for backend in ("riccati", "pallas"):
         sv = dataclasses.replace(ocp.solver, qp_backend=backend,
-                                 ipm_iters=8)
+                                 ipm_iters=6)
         st = init_rti_state(ocp, x0, DTYPE)
         u0, st, diag, res = jax.jit(
             lambda sp, st, x, so, sv=sv: rti_step_soft(

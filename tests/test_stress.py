@@ -97,6 +97,7 @@ def test_pathological_states_flight_safe(problem):
     assert float(np.asarray(diags.bound_viol)[3]) > 1.0
 
 
+@pytest.mark.slow
 def test_deep_iteration_budget_stable(problem):
     """The reference's qp_solver_iter_max=500 analog: a DEEP solve budget
     (40 SQP outer x 12 IPM inner = 480 Newton systems) on a hard
