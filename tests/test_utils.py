@@ -70,3 +70,18 @@ def test_metrics_summary_healthy():
     assert s.n_solves == 10
     js = s.to_json()
     assert "kkt_stat_max" in js
+
+
+def test_device_time_measures_positive():
+    """utils/timing.py: the fetch-based timer returns a sane positive
+    per-call time and the RTT floor is cached."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_blaster_tpu.utils.timing import device_time, measure_rtt
+
+    f = jax.jit(lambda x: jnp.sin(x).sum())
+    x = jnp.ones((256, 256), jnp.float32)
+    t = device_time(lambda: f(x), reps=5)
+    assert t > 0.0
+    assert measure_rtt() >= 0.0
+    assert measure_rtt() == measure_rtt()  # cached
