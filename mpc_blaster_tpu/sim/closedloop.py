@@ -59,19 +59,20 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
         our closed-form jacfwd solve costs microseconds).
 
     warm_start=True carries IPM slack/dual warm starts between ticks
-    (HPIPM warm_start=1 analog); pair with a reduced solver.ipm_iters for
-    latency-critical loops.
+    (HPIPM warm_start=1 analog); pair with reduced solver.ipm_iters AND
+    solver.warm_shift=True (raw unshifted chains diverge on transients
+    — measured; see SolverConfig.warm_mode).
 
-    jac_refresh > 1 (mutually exclusive with warm_start) re-linearizes
+    jac_refresh > 1 (composable with warm_start) re-linearizes
     the dynamics Jacobians only every jac_refresh-th tick while keeping
     EXACT shooting defects every tick — the reference's own
     `sim_method_jac_reuse` precedent, here composed with any QP backend.
     Tracking quality is unchanged at jac_refresh<=4 (measured, fig-8),
     because the defects stay exact: only the Gauss-Newton model is stale.
     """
-    if warm_start and jac_refresh > 1:
-        raise ValueError("warm_start and jac_refresh are mutually "
-                         "exclusive deployment modes")
+    # warm_start and jac_refresh compose (rti_step_warm_jacreuse): the
+    # two accelerators are orthogonal — carried slacks/duals cut IPM
+    # iterations, Jacobian reuse cuts linearization cost.
     params = BlasterParams.from_config(ocp.model, dtype)
     # The controller's integrator substep count feeds BOTH the forward map
     # and the linearizer — one site so they can never desynchronize
@@ -121,7 +122,32 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
     else:
         raise ValueError(f"unknown poc_mode {poc_mode!r}")
 
-    if warm_start:
+    if warm_start and jac_refresh > 1:
+        from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+        from mpc_blaster_tpu.sqp.rti import (JacCache,
+                                             rti_step_warm_jacreuse)
+        warm0 = IpmWarmStart.zeros(spec.horizon, x0.shape[0],
+                                   rti0.ubar.shape[-1], dtype)
+        warm0 = jax.tree.map(lambda a: a + 0.0 * x0[0], warm0)
+        cache0 = JacCache.zeros(spec.horizon, x0.shape[0],
+                                rti0.ubar.shape[-1], dtype)
+        cache0 = jax.tree.map(lambda a: a + 0.0 * x0[0], cache0)
+
+        def tick(carry, k):
+            state, warm, cache, x = carry
+            spec_t = spec._replace(stage_params=stage_params_for(x, state))
+            refresh = (k % jac_refresh) == 0
+            u0, state_new, warm_new, cache, diag = rti_step_warm_jacreuse(
+                spec_t, state, warm, cache, refresh, x, params, F, solver,
+                linearizer=lin)
+            x_next = F_plant(x, u0, plant_params, params)
+            cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
+            out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
+            return (state_new, warm_new, cache, x_next), out
+
+        (_, _, _, _), (xs, us, costs, stat, eq) = jax.lax.scan(
+            tick, (rti0, warm0, cache0, x0), jnp.arange(n_steps))
+    elif warm_start:
         from mpc_blaster_tpu.qp.ipm import IpmWarmStart
         from mpc_blaster_tpu.sqp.rti import rti_step_warm
         warm0 = IpmWarmStart.zeros(spec.horizon, x0.shape[0],

@@ -385,6 +385,46 @@ def shift_state(state: RTIState) -> RTIState:
     )
 
 
+def rti_step_warm_jacreuse(spec: OCPSpec, state: RTIState, warm,
+                           cache: JacCache, refresh, x0: jnp.ndarray,
+                           params: BlasterParams, F,
+                           solver: cfg.SolverConfig, linearizer=None):
+    """Compose the two deployment accelerators: slack/dual warm chains
+    (with the shift/conditioning of `rti_step_warm`) AND Jacobian reuse
+    (`rti_step_jacreuse`). Defects stay exact every tick; A/B refresh
+    every jac_refresh-th tick; carried slacks/duals are conditioned per
+    `solver.warm_mode`/`warm_shift`. When the iterate is time-shifted,
+    the Jacobian cache rows are shifted WITH it (stage k's new
+    linearization point is old stage k+1), keeping the stale model
+    aligned with the trajectory it linearizes.
+
+    Returns (u0, new_state, warm_out, new_cache, diag).
+    """
+    from mpc_blaster_tpu.qp.ipm import warm_start_from, warm_start_recenter
+
+    qp, cache = build_qp_jacreuse(spec, state, x0, F, params, cache,
+                                  refresh, linearizer=linearizer)
+    sol = solve_qp_backend(qp, solver, warm=warm)
+    new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
+    diag = RTIDiagnostics(
+        qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
+        step_norm_x=jnp.max(jnp.abs(sol.dx)),
+        step_norm_u=jnp.max(jnp.abs(sol.du)),
+        bound_viol=_bound_violation(spec, new_state),
+    )
+    u0 = new_state.ubar[0]
+    warm_out = warm_start_from(sol, shift=solver.warm_shift)
+    if solver.warm_mode != "full":
+        warm_out = warm_start_recenter(warm_out, mu0=solver.ipm_mu0,
+                                       mode=solver.warm_mode)
+    if solver.warm_shift:
+        new_state = shift_state(new_state)
+        cache = JacCache(
+            A=jnp.concatenate([cache.A[1:], cache.A[-1:]], axis=0),
+            B=jnp.concatenate([cache.B[1:], cache.B[-1:]], axis=0))
+    return u0, new_state, warm_out, cache, diag
+
+
 @dataclasses.dataclass(frozen=True)
 class RTIController:
     """Bundles static config + jitted step for convenient host-side use."""

@@ -260,3 +260,26 @@ def test_closed_loop_jac_refresh_mode():
     with _pytest.raises(ValueError):
         make_closed_loop(ocp, 4, dtype=DTYPE, jac_refresh=4,
                          warm_start=True)(spec, x0)
+
+
+def test_warm_jacreuse_composition_tracks():
+    """warm_start + jac_refresh compose (rti_step_warm_jacreuse): the
+    shifted-warm Jacobian-reuse loop reaches the hover target like the
+    plain loop, with the cache shifted alongside the iterate."""
+    import dataclasses
+    from mpc_blaster_tpu.sim.closedloop import make_closed_loop
+
+    preset = cfg.simulation_preset()
+    ocp = dataclasses.replace(preset.ocp, N=10, Tf=10 / 30.0)
+    spec = build_spec(ocp, yref=preset.loop.yref, dtype=DTYPE)
+    x0 = jnp.zeros(cfg.NX, DTYPE).at[2].set(2.0)
+    sv = dataclasses.replace(ocp.solver, ipm_iters=4, warm_mode="primal",
+                             warm_shift=True)
+    run = make_closed_loop(dataclasses.replace(ocp, solver=sv), 80,
+                           dtype=DTYPE, warm_start=True, jac_refresh=4)
+    res = run(spec, x0)
+    assert bool(jnp.isfinite(res.xs).all())
+    # settles at the 3.5 m target despite 3/4 of ticks reusing stale A/B
+    assert abs(float(res.xs[-1, 2]) - 3.5) < 0.05
+    ref = make_closed_loop(ocp, 80, dtype=DTYPE)(spec, x0)
+    assert abs(float(res.xs[-1, 2]) - float(ref.xs[-1, 2])) < 0.02
