@@ -219,3 +219,87 @@ def test_oracle_closed_loop():
     xs_rti = np.stack(xs_rti)
     xs_orc = np.stack(xs_orc)
     np.testing.assert_allclose(xs_rti[:, 0:9], xs_orc[:, 0:9], atol=1e-3)
+
+
+def test_rti_step_is_one_exact_gauss_newton_step():
+    """Pin the acados SQP-RTI single-iteration semantics EXPLICITLY
+    (`blastermodel.py:278`, `nlp_solver_step_length=1.0`): one rti_step
+    from a retained iterate equals one full Gauss-Newton step computed
+    by hand — linearize the dynamics, assemble the LINEAR_LS QP, solve
+    the equality-constrained KKT system densely in numpy f64, take the
+    full step. Bounds are kept inactive so the hand-rolled system needs
+    no active-set logic; the IPM must converge to the same stationary
+    point.
+    """
+    import dataclasses
+    import numpy.linalg as npl
+    from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+    from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+    from mpc_blaster_tpu.ocp.spec import build_spec
+    from mpc_blaster_tpu.sqp.rti import build_qp, init_rti_state, rti_step
+
+    DT = jnp.float64
+    preset = cfg.simulation_preset()
+    # widen every box so no bound is active at the mild test state
+    wide = cfg.BoundsConfig(lbx=tuple([-1e4] * cfg.NX),
+                            ubx=tuple([1e4] * cfg.NX),
+                            lbu=tuple([-1e4] * cfg.NU),
+                            ubu=tuple([1e4] * cfg.NU))
+    ocp = dataclasses.replace(preset.ocp, N=6, Tf=0.2, bounds=wide,
+                              solver=dataclasses.replace(
+                                  preset.ocp.solver, ipm_iters=30))
+    spec = build_spec(ocp, yref=preset.loop.yref, dtype=DT)
+    params = BlasterParams.from_config(ocp.model, DT)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    x0 = jnp.zeros(cfg.NX, DT).at[2].set(3.3).at[0].set(0.05)
+    state = init_rti_state(ocp, x0, DT)
+
+    # --- the framework's tick ---
+    u0, new_state, diag = rti_step(spec, state, x0, params, F, ocp.solver)
+
+    # --- hand-rolled single GN step: dense equality-constrained KKT ---
+    qp = build_qp(spec, state, x0, F, params)
+    N, nx, nu = ocp.N, cfg.NX, cfg.NU
+    nz = (N + 1) * nx + N * nu     # decision: all dx, all du
+    nc = (N + 1) * nx              # constraints: dx0 pin + N dynamics rows
+    H = np.zeros((nz, nz))
+    g = np.zeros(nz)
+    A = np.asarray(qp.A)
+    B = np.asarray(qp.B)
+
+    def xi(k):
+        return slice(k * nx, (k + 1) * nx)
+
+    def ui(k):
+        return slice((N + 1) * nx + k * nu, (N + 1) * nx + (k + 1) * nu)
+
+    for k in range(N + 1):
+        H[xi(k), xi(k)] = np.asarray(qp.Q[k])
+        g[xi(k)] = np.asarray(qp.q[k])
+    for k in range(N):
+        H[ui(k), ui(k)] = np.asarray(qp.R[k])
+        g[ui(k)] = np.asarray(qp.r[k])
+    C = np.zeros((nc, nz))
+    b = np.zeros(nc)
+    C[0:nx, xi(0)] = np.eye(nx)
+    b[0:nx] = np.asarray(qp.dx0)
+    for k in range(N):
+        r = slice((k + 1) * nx, (k + 2) * nx)
+        C[r, xi(k)] = A[k]
+        C[r, ui(k)] = B[k]
+        C[r, xi(k + 1)] = -np.eye(nx)
+        b[r] = -np.asarray(qp.c[k])
+    KKT = np.block([[H, C.T], [C, np.zeros((nc, nc))]])
+    rhs = np.concatenate([-g, b])
+    sol = npl.solve(KKT, rhs)
+    dx_ref = sol[: (N + 1) * nx].reshape(N + 1, nx)
+    du_ref = sol[(N + 1) * nx: nz].reshape(N, nu)
+
+    # full step (nlp_solver_step_length = 1.0): iterate + delta
+    np.testing.assert_allclose(np.asarray(new_state.xbar),
+                               np.asarray(state.xbar) + dx_ref, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(new_state.ubar),
+                               np.asarray(state.ubar) + du_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u0),
+                               np.asarray(state.ubar[0]) + du_ref[0],
+                               atol=1e-6)
