@@ -310,11 +310,17 @@ def main():
         except Exception as e:
             out[key] = -1.0
             out[f"{key}_error"] = str(e)[:200]
-    try:  # 12-iteration XLA reference quality row (r2 continuity)
+    try:  # 12-iteration XLA reference quality rows (r1/r2 continuity;
+        # the N=30 row is the exact definition behind r1's
+        # figure8_tracking_err_m_after_settle = 0.0183)
         sv = dataclasses.replace(ocp.solver, ipm_iters=12,
                                  qp_backend="riccati")
         out["fig8_cold12_settle_err_m"] = round(
             fig8(dataclasses.replace(ocp, solver=sv)), 4)
+        sv30 = dataclasses.replace(ocp30.solver, ipm_iters=12,
+                                   qp_backend="riccati")
+        out["fig8_n30_cold12_settle_err_m"] = round(
+            fig8(dataclasses.replace(ocp30, solver=sv30)), 4)
     except Exception as e:
         out["fig8_cold12_settle_err_m"] = -1.0
         out["fig8_cold12_error"] = str(e)[:200]

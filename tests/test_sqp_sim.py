@@ -256,10 +256,8 @@ def test_closed_loop_jac_refresh_mode():
     # exact defects keep the loops glued: cm-level over the transient
     np.testing.assert_allclose(np.asarray(jr.xs[:, 0:6]),
                                np.asarray(ref.xs[:, 0:6]), atol=2e-2)
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        make_closed_loop(ocp, 4, dtype=DTYPE, jac_refresh=4,
-                         warm_start=True)(spec, x0)
+    # warm_start + jac_refresh COMPOSE since round 3
+    # (test_warm_jacreuse_composition_tracks covers the combined mode)
 
 
 def test_warm_jacreuse_composition_tracks():
