@@ -7,6 +7,10 @@ across condensing block sizes. Prints one JSON object per config.
 Run on the TPU (background; first compiles go through the tunnel):
     python scripts/bench_condensed.py
 """
+# TIMING CAVEAT (round 3): this script predates the discovery that
+# jax.block_until_ready does NOT reliably wait on the axon tunnel platform.
+# Its absolute wall-clock numbers are unreliable; use
+# mpc_blaster_tpu.utils.timing.device_time (fetch-based) for new work.
 import dataclasses
 import json
 import os

@@ -10,6 +10,10 @@ Measures, on the local device (TPU if available):
 Writes BENCH_SUITE.json at the repo root. Run in background on the TPU;
 first compiles take minutes through the tunnel.
 """
+# TIMING CAVEAT (round 3): this script predates the discovery that
+# jax.block_until_ready does NOT reliably wait on the axon tunnel platform.
+# Its absolute wall-clock numbers are unreliable; use
+# mpc_blaster_tpu.utils.timing.device_time (fetch-based) for new work.
 import dataclasses
 import json
 import os

@@ -7,6 +7,10 @@ number reported is pure device-side per-tick latency.
 
 Run:  python scripts/lat_probe.py 2>&1 | tee /tmp/lat_probe.log
 """
+# TIMING CAVEAT (round 3): this script predates the discovery that
+# jax.block_until_ready does NOT reliably wait on the axon tunnel platform.
+# Its absolute wall-clock numbers are unreliable; use
+# mpc_blaster_tpu.utils.timing.device_time (fetch-based) for new work.
 import dataclasses
 import os
 import json

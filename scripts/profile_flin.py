@@ -2,6 +2,10 @@
 
 Run:  nohup python scripts/profile_flin.py > /tmp/profile_flin.log 2>&1 &
 """
+# TIMING CAVEAT (round 3): this script predates the discovery that
+# jax.block_until_ready does NOT reliably wait on the axon tunnel platform.
+# Its absolute wall-clock numbers are unreliable; use
+# mpc_blaster_tpu.utils.timing.device_time (fetch-based) for new work.
 import dataclasses
 import os
 import sys

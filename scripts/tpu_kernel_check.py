@@ -10,6 +10,10 @@ Checks, on the real chip:
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_kernel_check.py
 """
+# TIMING CAVEAT (round 3): this script predates the discovery that
+# jax.block_until_ready does NOT reliably wait on the axon tunnel platform.
+# Its absolute wall-clock numbers are unreliable; use
+# mpc_blaster_tpu.utils.timing.device_time (fetch-based) for new work.
 import dataclasses
 import json
 import sys
