@@ -157,9 +157,10 @@ def main():
 
     # ---- deployed latency rows: cold Pallas ticks, fused linearizer ----
     def rt_runner(ocp_n, iters, jr=1, warm=False, warm_mode="full",
-                  warm_shift=False, K=32):
+                  warm_shift=False, K=32, backend=None):
         sv = dataclasses.replace(
-            ocp_n.solver, ipm_iters=iters, qp_backend=qp_backend,
+            ocp_n.solver, ipm_iters=iters,
+            qp_backend=backend or qp_backend,
             lin_backend="fused", warm_mode=warm_mode, warm_shift=warm_shift)
         ocp_rt = dataclasses.replace(ocp_n, solver=sv)
         runner = make_closed_loop(ocp_rt, K, dtype=dtype, jac_refresh=jr,
@@ -190,6 +191,20 @@ def main():
         ("rt4_n30", ocp30, spec30, dict(iters=4)),
         ("rt6_n60", ocp60, spec60, dict(iters=6)),
     ]
+    if have_pallas:
+        # r4: SINGLE-KERNEL fused RTI tick (qp_backend="pallas_fused" —
+        # RK4 linearization runs inside the IPM kernel; the B=1 latency
+        # endgame of ops/pallas_ipm.py's fuse_lin prologue)
+        rows += [
+            ("rt6f", ocp, spec, dict(iters=6, backend="pallas_fused")),
+            ("warm3shiftf", ocp, spec,
+             dict(iters=3, warm=True, warm_mode="primal", warm_shift=True,
+                  backend="pallas_fused")),
+            ("rt6f_n30", ocp30, spec30,
+             dict(iters=6, backend="pallas_fused")),
+            ("rt6f_n60", ocp60, spec60,
+             dict(iters=6, backend="pallas_fused")),
+        ]
     lat_ms = {}
     for name, ocp_n, spec_n, kw in rows:
         try:
@@ -302,6 +317,9 @@ def main():
                                             warm_shift=True)),
         ("fig8_n30_rt6_settle_err_m", ocp30, dict(iters=6)),
     ]
+    if have_pallas:
+        fig_rows.append(("fig8_rt6f_settle_err_m", ocp,
+                         dict(iters=6, backend="pallas_fused")))
     for key, ocp_n, kw in fig_rows:
         try:
             log(f"bench: {key}")

@@ -1,12 +1,13 @@
 """Deployment profiles demo: the hardware-validated latency/quality
 trade-offs by name, plus the PX4-wire flight shell.
 
-Profiles (config.deployed_solver; numbers from bench.py on a v5e chip,
-N=20 horizon, fetch-based timing):
+Profiles (config.deployed_solver; v5e chip, N=20 horizon, fetch-based
+timing; all three now run the SINGLE-KERNEL fused RTI tick —
+qp_backend="pallas_fused", linearization inside the IPM kernel):
 
-  safe     cold 6-iter Pallas ticks      0.56 ms  1786 Hz  fig8 0.0388 m
-  fast     cold 4-iter                   0.42 ms  2364 Hz  fig8 0.0387 m
-  fastest  3-iter shifted primal warm    0.37 ms  2732 Hz  fig8 0.0324 m
+  safe     cold 6-iter fused ticks       0.52 ms  1906 Hz  fig8 0.0388 m
+  fast     cold 4-iter fused             ~0.40 ms ~2500 Hz fig8 0.0387 m
+  fastest  3-iter shifted primal warm    0.34 ms  2904 Hz  fig8 0.0324 m
 
 All three pass the altitude-step transient stress that diverges RAW
 (unshifted) warm chains by hundreds of meters — the shift is the

@@ -126,6 +126,10 @@ class SolverConfig:
     # partial condensing with block size cond_M (qp/condense.py, the
     # HPIPM cond_N = N/cond_M capability: shorter sequential chain,
     # denser matmuls).
+    # "pallas" = the fused whole-IPM TPU mega-kernel (ops/pallas_ipm.py);
+    # "pallas_fused" = the SINGLE-KERNEL RTI tick: RK4 linearization runs
+    # inside the IPM kernel too (B=1 BLASTER latency path; needs
+    # dyn_statics — make_rti_step/closed_loop wire it automatically).
     qp_backend: str = "riccati"
     cond_M: int = 5
     # Inner Newton-system solver of the Riccati IPM: "scan" (sequential
@@ -343,20 +347,24 @@ def smoke_preset() -> Preset:
 def deployed_solver(profile: str = "safe") -> SolverConfig:
     """Hardware-validated deployment solver profiles (bench.py rows,
     v5e, N=20; all pass the altitude-step transient stress and match or
-    beat the 12-iteration reference-quality figure-8 error):
+    beat the 12-iteration reference-quality figure-8 error). All three
+    run the SINGLE-KERNEL fused RTI tick (qp_backend="pallas_fused":
+    RK4 linearization inside the IPM kernel, zero inter-kernel dispatch;
+    measured fig8 parity 0.0388 m == the two-kernel path):
 
-    - "safe":    cold 6-iteration Pallas ticks — 1786 Hz. The most
+    - "safe":    cold 6-iteration fused ticks — 1906 Hz. The most
                  conservative profile; mirrors the reference's HPIPM
                  `qp_solver_warm_start=0` + generous iterations.
-    - "fast":    cold 4-iteration — 2341 Hz at identical measured
-                 quality (fig8 0.0387 vs 0.0388 m, same overshoot).
+    - "fast":    cold 4-iteration — ~2500 Hz at identical measured
+                 quality (two-kernel: fig8 0.0387 vs 0.0388 m).
     - "fastest": 3-iteration shifted primal-recentered warm chain —
-                 2732 Hz AND the best figure-8 error measured
-                 (0.0324 m). Requires a warm loop (closed_loop /
-                 make_tracking_loop with warm_start=True) so the
-                 slack/dual state threads between ticks.
+                 2904 Hz AND the best figure-8 error measured
+                 (0.0324 m two-kernel). Requires a warm loop
+                 (closed_loop / make_tracking_loop with
+                 warm_start=True) so the slack/dual state threads
+                 between ticks.
     """
-    base = dict(qp_backend="pallas", lin_backend="fused")
+    base = dict(qp_backend="pallas_fused", lin_backend="fused")
     if profile == "safe":
         return SolverConfig(ipm_iters=6, **base)
     if profile == "fast":

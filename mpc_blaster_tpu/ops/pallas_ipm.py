@@ -198,6 +198,7 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 wslu_ref, wsuu_ref, wllu_ref, wluu_ref,
                 Zlx_ref, zlx_ref, Zux_ref, zux_ref,
                 Zlu_ref, zlu_ref, Zuu_ref, zuu_ref,
+                xb_ref, ub_ref, sp_ref,
                 dx_out, du_out, diag_out, P_hbm, Z_hbm,
                 slx_s, sux_s, lam_lx_s, lam_ux_s,
                 slu_s, suu_s, lam_lu_s, lam_uu_s,
@@ -209,11 +210,13 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 qr_s, rr_s, req_s,
                 tlx_s, glx_s, tux_s, gux_s,
                 tlu_s, glu_s, tuu_s, guu_s,
+                ab_s, c_s,
                 *, N: int, nx: int, nu: int, iters: int, mu0: float,
                 alpha_frac: float, reg: float, s_min: float, mu_min: float,
                 sigma_max: float, lam_max: float, eps_s: float,
                 stream_p: bool, stream_big: bool, chunk: int, soft: bool,
-                warm_on: bool):
+                warm_on: bool, fuse_lin: bool = False, model=None,
+                dt_dyn: float = 0.0, nsteps: int = 1):
     """NOTE on naming: slx_s..lam_uu_s are OUTPUT refs (warm-start outputs)
     doubling as the iterate's slack/dual state; the wslx_ref.. inputs are
     aliased onto them and must only be read before the init pass writes.
@@ -255,8 +258,13 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                                      hbm.at[pl.ds(base, C)], sem.at[slot])
 
     def _ab_direct(k):
-        blk = AB_ref[k]
+        blk = ab_s[k] if fuse_lin else AB_ref[k]
         return blk[:, :nx], blk[:, nx:]
+
+    def _c(k):
+        """Affine shooting defect c_k: computed in-kernel by the fused
+        linearization prologue (`fuse_lin`) or read from the input ref."""
+        return c_s[k] if fuse_lin else c_ref[k]
 
     def sweep(body, carry0, *, reverse, ab=False, p_read=False,
               z_read=False, p_write=False, z_write=False):
@@ -444,6 +452,70 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         return jnp.where(sm > 0.5, w, 0.0)
 
 
+    # ---- fused linearization prologue (single-kernel RTI tick) ----
+    # Computes A/B (RK4 forward sensitivities) and the shooting defects c
+    # IN-KERNEL from the iterate (xbar, ubar) and the 25-dim stage
+    # parameters, replacing the separate XLA linearizer + the lane-
+    # duplicated A/B HBM round-trip (the acados analog: one solver call
+    # does linearize+solve, `blastermodel.py:277-289`). Layout trick:
+    # B=1 deployed solves leave the 128 lanes carrying copies of one
+    # problem, so the prologue REPURPOSES the lane axis as (node-in-group
+    # m, tangent column j): npg = LANES//(nx+nu) shooting nodes per
+    # group, each spanning nx+nu lanes, one `jax.jvp` through the
+    # elementwise `dynamics/fastlin.py::_rk4_rows` per group of nodes.
+    # Same Butcher tableau + derivative mode as every other linearizer —
+    # identical numbers, zero inter-kernel dispatch.
+    if fuse_lin:
+        from mpc_blaster_tpu.dynamics.blaster import BlasterParams as _BP
+        from mpc_blaster_tpu.dynamics.fastlin import _rk4_rows
+
+        bp = _BP(mass=model[0], gravity=model[1],
+                 inertia=(model[5], model[6], model[7]),
+                 arm_length_x=model[2], arm_length_y=model[3],
+                 yaw_coefficient=model[4])
+        C_t = nx + nu                    # tangent columns per node
+        npg = max(LANES // C_t, 1)       # nodes packed per lane group
+        G = (N + npg - 1) // npg
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Bt), 1)
+        mcol = lane % C_t                # tangent column j of this lane
+        mnode = lane // C_t              # node-within-group m
+        active = (mnode < npg).astype(f32)
+        rx = jax.lax.broadcasted_iota(jnp.int32, (nx, 1), 0)
+        ru = jax.lax.broadcasted_iota(jnp.int32, (nu, 1), 0)
+        xseed = (mcol == rx).astype(f32) * active          # (nx, Bt)
+        useed = (mcol == (nx + ru)).astype(f32) * active   # (nu, Bt)
+
+        def lin_group(g, _):
+            def sel(ref, n_max):
+                # place node g*npg+m's (lane-uniform) row onto its lane
+                # span via masked selects; clamped duplicates on the last
+                # partial group write identical data (harmless)
+                acc = ref[jnp.minimum(g * npg, n_max)]
+                for m in range(1, npg):
+                    v = ref[jnp.minimum(g * npg + m, n_max)]
+                    acc = jnp.where(mnode == m, v, acc)
+                return acc
+
+            Xg = sel(xb_ref, N - 1)
+            Ug = sel(ub_ref, N - 1)
+            Pg = sel(sp_ref, N - 1)
+
+            def f(x, u):
+                return _rk4_rows(x, u, Pg, bp, dt_dyn, nsteps)
+
+            y, yd = jax.jvp(f, (Xg, Ug), (xseed, useed))
+            for m in range(npg):
+                k_m = jnp.minimum(g * npg + m, N - 1)
+                cols = [jnp.broadcast_to(yd[:, m * C_t + j:m * C_t + j + 1],
+                                         (nx, Bt))
+                        for j in range(C_t)]
+                ab_s[k_m] = jnp.stack(cols, axis=1)   # (nx, nx+nu, Bt)
+                ypr = jnp.broadcast_to(y[:, m * C_t:m * C_t + 1], (nx, Bt))
+                c_s[k_m] = ypr - xb_ref[k_m + 1]
+            return 0
+
+        jax.lax.fori_loop(0, G, lin_group, 0)
+
     # ---- initial point: rollout (du=0) + mask-aware 10%-inset clamp,
     # centered slacks/duals, then warm blend (reads the aliased warm
     # inputs BEFORE overwriting them) ----
@@ -477,7 +549,7 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
 
     def init_roll(k, get, put, _):
         A_k, B_k = get("AB")
-        nxt = _matvec(A_k, dx_s[k]) + c_ref[k]
+        nxt = _matvec(A_k, dx_s[k]) + _c(k)
         lb, ub = lbx_ref[k], ubx_ref[k]
         mlx, mux = m_lo(lb), m_hi(ub)
         nxt = clamp_into(nxt, lb, ub, _hard_only(GROUPS[0], k, mlx),
@@ -599,7 +671,7 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                   - (lam_lu_s[k] - lam_uu_s[k]))
             stat = jnp.maximum(stat, jnp.max(jnp.abs(su), axis=0))
             pred = (_matvec(A_k, dx_s[k])
-                    + _matvec(B_k, du_s[k]) + c_ref[k] - dx_s[k + 1])
+                    + _matvec(B_k, du_s[k]) + _c(k) - dx_s[k + 1])
             req_s[k] = pred
             eq = jnp.maximum(eq, jnp.max(jnp.abs(pred), axis=0))
             lam_new = (_contractT_vec(Qs_ref[...], dx_s[k]) + q_ref[k]
@@ -958,22 +1030,69 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     if soft is not None and warm is not None:
         raise ValueError("soft bounds do not support slack/dual warm "
                          "starts (violation pairs are not carried)")
-    return _pallas_box_qp_solve(data, warm, soft, iters=iters, mu0=mu0,
+    return _pallas_box_qp_solve(data, warm, soft, None, iters=iters, mu0=mu0,
                                 alpha_frac=alpha_frac, reg=reg,
                                 interpret=interpret, stream_p=stream_p,
                                 stream_big=stream_big)
 
 
+def pallas_fused_rti_solve(data: QPData, xbar, ubar, stage_params,
+                           model: tuple, dt: float, num_steps: int = 1,
+                           iters: int = 6, mu0: float = 1e-1,
+                           alpha_frac: float = 0.995, reg: float = 1e-6,
+                           interpret: bool = False, warm=None) -> QPSolution:
+    """Single-kernel RTI QP solve: linearization fused INTO the IPM kernel.
+
+    `data` carries the cost/bounds/dx0 of the delta-form QP with A/B/c as
+    placeholders (zeros; ignored): the kernel derives A/B/c on-chip from
+    the iterate via RK4 forward sensitivities (`fuse_lin` prologue) — the
+    TPU analog of acados' fully-fused C tick where one solver call does
+    linearize+condense+solve (`blastermodel.py:277-289`).
+
+    Arguments beyond `pallas_box_qp_solve`:
+      xbar (B, N+1, nx), ubar (B, N, nu), stage_params (B, N, np) — the
+        linearization point and per-stage 25-dim POC parameters;
+      model — STATIC tuple of the BLASTER physical constants
+        (mass, gravity, arm_x, arm_y, yaw_coeff, Jx, Jy, Jz), see
+        `sqp/rti.py::fused_dyn_statics`;
+      dt / num_steps — shooting interval + ERK substeps (static).
+
+    Restrictions: B == 1 only (the prologue repurposes the 128 lanes as
+    (node, tangent-column) slots, which requires the IPM's lanes to be
+    duplicates of one problem — exactly the deployed latency path); fully
+    VMEM-resident only (no HBM streaming; the whole point is zero
+    off-chip traffic), so N is bounded by the VMEM budget (N<=120
+    validated envelope); BLASTER model only (the ODE is baked into the
+    prologue — quad13 and friends keep `qp_backend="pallas"`).
+    """
+    if data.dx0.ndim != 2 or data.dx0.shape[0] != 1:
+        raise ValueError("pallas_fused_rti_solve is the B=1 latency path "
+                         f"(got batch {data.dx0.shape[0]}); use "
+                         "pallas_box_qp_solve for batched solves")
+    return _pallas_box_qp_solve(data, warm, None,
+                                (xbar, ubar, stage_params),
+                                iters=iters, mu0=mu0,
+                                alpha_frac=alpha_frac, reg=reg,
+                                interpret=interpret, stream_p=False,
+                                stream_big=False, model=tuple(model),
+                                dt_dyn=float(dt), nsteps=int(num_steps))
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "mu0", "alpha_frac",
                                              "reg", "interpret", "stream_p",
-                                             "stream_big"))
-def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
+                                             "stream_big", "model",
+                                             "dt_dyn", "nsteps"))
+def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
+                         mu0: float,
                          alpha_frac: float, reg: float,
                          interpret: bool, stream_p: bool | None,
-                         stream_big: bool | None) -> QPSolution:
+                         stream_big: bool | None, model=None,
+                         dt_dyn: float = 0.0,
+                         nsteps: int = 1) -> QPSolution:
     B = data.A.shape[0]
     N, nx, nu = data.A.shape[1], data.A.shape[-1], data.B.shape[-1]
     f32 = jnp.float32
+    fuse_on = fuse is not None
 
     pad = (-B) % LANES
 
@@ -991,8 +1110,22 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
     def san(b, lo):
         return jnp.where(jnp.isfinite(b), b, (-_BIGB if lo else _BIGB))
 
-    AB = prep(jnp.concatenate([data.A, data.B], axis=-1))
-    c = prep(data.c)
+    dx0 = prep(data.dx0)
+    T_tiles0 = dx0.shape[0]
+    np_sp = 0 if fuse is None else fuse[2].shape[-1]
+    if fuse_on:
+        # A/B/c are derived in-kernel from the iterate; their input slots
+        # shrink to dummies (never read — `fuse_lin` gates at trace time)
+        dum = jnp.zeros((T_tiles0, 1, LANES), f32)
+        AB, c = dum, dum
+        xb = prep(fuse[0])
+        ub = prep(fuse[1])
+        sp = prep(fuse[2])
+    else:
+        AB = prep(jnp.concatenate([data.A, data.B], axis=-1))
+        c = prep(data.c)
+        dum = jnp.zeros((T_tiles0, 1, LANES), f32)
+        xb = ub = sp = dum
     Qs = prep(data.Q[:, 0])
     Qt = prep(data.Q[:, -1])
     q = prep(data.q)
@@ -1002,9 +1135,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
     ubx = prep(san(data.ubx[:, 1:], False))
     lbu = prep(san(data.lbu, True))
     ubu = prep(san(data.ubu, False))
-    dx0 = prep(data.dx0)
     warm_on = warm is not None
-    T_tiles0 = AB.shape[0]
     if warm_on:
         wvalid = prep(jnp.reshape(warm.valid, (B, 1)))
         wslx = prep(warm.s_lx)
@@ -1050,6 +1181,10 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
             vecs += 4 * N * nx + 4 * N * nu
         if soft_on:
             vecs += 2 * (4 * N * nx + 4 * N * nu)  # penalties + t/gam
+        if fuse_on:
+            # ab_s scratch replaces the (dummied) AB input byte-for-byte;
+            # the net additions are c_s + the xbar/ubar/stage-param inputs
+            vecs += N * nx + (N + 1) * nx + N * nu + N * np_sp
         return (mats + vecs) * lane
     if soft_on:
         def pen_in(pen, b):
@@ -1078,6 +1213,13 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
     # fit the VMEM budget (see the module-level VMEM facts): first P
     # streams, then the A/B record + Z gains as well. At the reference's
     # horizons (N <= 60) everything stays resident.
+    if fuse_on:
+        # the fused tick is the zero-off-chip-traffic path: everything
+        # resident by construction (pallas_fused_rti_solve docstring)
+        if stream_p or stream_big:
+            raise ValueError("fused linearization requires the fully "
+                             "VMEM-resident kernel (no HBM streaming)")
+        stream_p = stream_big = False
     if stream_p is None:
         stream_p = _buffer_bytes(False, False, 1) > _RESIDENT_BUDGET
     if stream_big is None:
@@ -1108,7 +1250,8 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
         alpha_frac=alpha_frac, reg=reg, s_min=s_min, mu_min=mu_min,
         sigma_max=sigma_max, lam_max=lam_max, eps_s=eps_s,
         stream_p=stream_p, stream_big=stream_big, chunk=chunk,
-        soft=soft_on, warm_on=warm_on)
+        soft=soft_on, warm_on=warm_on, fuse_lin=fuse_on, model=model,
+        dt_dyn=dt_dyn, nsteps=nsteps)
 
     def vspec():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1119,7 +1262,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
     xs = jax.ShapeDtypeStruct((N, nx, LANES), f32)
     us = jax.ShapeDtypeStruct((N, nu, LANES), f32)
     in_specs = ([anyspec() if stream_big else vspec()]
-                + [vspec()] * 28)
+                + [vspec()] * 31)
     out_specs = (vspec(), vspec(), vspec(),
                  anyspec(), anyspec(),
                  vspec(), vspec(), vspec(), vspec(),
@@ -1174,6 +1317,10 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
                 pltpu.VMEM(tx, f32), pltpu.VMEM(tx, f32),   # tux gux
                 pltpu.VMEM(tu, f32), pltpu.VMEM(tu, f32),   # tlu glu
                 pltpu.VMEM(tu, f32), pltpu.VMEM(tu, f32)]   # tuu guu
+    ab_shape = ((N, nx, nx + nu, LANES) if fuse_on else (1, 1, 1, LANES))
+    cs_shape = ((N, nx, LANES) if fuse_on else (1, 1, LANES))
+    scratch += [pltpu.VMEM(ab_shape, f32),   # ab_s (fused A/B record)
+                pltpu.VMEM(cs_shape, f32)]   # c_s (fused defects)
 
     # DELIBERATELY no input_output_aliases: see the module-level NOTE
     # (CSE'd warm inputs + aliasing = output corruption inside scans).
@@ -1198,7 +1345,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, iters: int, mu0: float,
         one_tile, (AB, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0,
                    wvalid, wslx, wsux, wllx, wlux, wslu, wsuu, wllu, wluu,
                    Zlx_in, zlx_in, Zux_in, zux_in,
-                   Zlu_in, zlu_in, Zuu_in, zuu_in))
+                   Zlu_in, zlu_in, Zuu_in, zuu_in, xb, ub, sp))
     (dx_bl, du_bl, diag, _p_dump, _z_dump,
      oslx, osux, ollx, olux, oslu, osuu, ollu, oluu) = outs
 

@@ -81,8 +81,17 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=ctrl_substeps)
     F_plant = discrete_dynamics(blaster_ode, ocp.dt, num_steps=plant_substeps)
     solver = ocp.solver
-    from mpc_blaster_tpu.sqp.rti import make_linearizer
+    from mpc_blaster_tpu.sqp.rti import fused_dyn_statics, make_linearizer
     lin = make_linearizer(ocp, params, num_steps=ctrl_substeps)
+    # qp_backend="pallas_fused": linearization runs INSIDE the IPM kernel
+    # (single-kernel tick). Jacobian reuse is moot there (the in-kernel
+    # linearization costs ~no dispatch), so the composition is rejected.
+    dyn = (fused_dyn_statics(ocp, ctrl_substeps)
+           if solver.qp_backend == "pallas_fused" else None)
+    if dyn is not None and jac_refresh > 1:
+        raise ValueError("jac_refresh>1 is not supported with "
+                         "qp_backend='pallas_fused' (the fused kernel "
+                         "re-linearizes in-kernel every tick)")
     x0 = jnp.asarray(x0, dtype)
     if plant_params is None:
         # `simulation_blaster.py:82-84`: plant uses the controller's stage-0
@@ -159,7 +168,8 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
             state, warm, x = carry
             spec_t = spec._replace(stage_params=stage_params_for(x, state))
             u0, state_new, warm_new, diag = rti_step_warm(
-                spec_t, state, warm, x, params, F, solver, linearizer=lin)
+                spec_t, state, warm, x, params, F, solver, linearizer=lin,
+                dyn_statics=dyn)
             x_next = F_plant(x, u0, plant_params, params)
             cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
             out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
@@ -196,7 +206,8 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
             state, x = carry
             spec_t = spec._replace(stage_params=stage_params_for(x, state))
             u0, state_new, diag = rti_step(spec_t, state, x, params, F,
-                                           solver, linearizer=lin)
+                                           solver, linearizer=lin,
+                                           dyn_statics=dyn)
             x_next = F_plant(x, u0, plant_params, params)
             cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
             out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)

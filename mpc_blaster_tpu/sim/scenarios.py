@@ -95,6 +95,12 @@ def fault_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     solver = ocp.solver
+    if solver.qp_backend == "pallas_fused":
+        # scenario loops augment the ODE with disturbance estimates
+        # (offset-free MPC): the fused kernel bakes the NOMINAL ODE,
+        # so fall back to the two-kernel pallas path here.
+        import dataclasses as _dc
+        solver = _dc.replace(solver, qp_backend="pallas")
     # solver.lin_backend is honored only on the NOMINAL prediction model:
     # the fused component-form linearizer (dynamics/fastlin.py) hard-codes
     # the blaster ODE, so the observer-augmented model (offset_free=True)
@@ -167,6 +173,12 @@ def disturbance_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
     params = BlasterParams.from_config(ocp.model, dtype)
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     solver = ocp.solver
+    if solver.qp_backend == "pallas_fused":
+        # scenario loops augment the ODE with disturbance estimates
+        # (offset-free MPC): the fused kernel bakes the NOMINAL ODE,
+        # so fall back to the two-kernel pallas path here.
+        import dataclasses as _dc
+        solver = _dc.replace(solver, qp_backend="pallas")
     # same nominal-model-only rule as fault_sweep (see comment there)
     from mpc_blaster_tpu.sqp.rti import make_linearizer
     lin_nom = None if offset_free else make_linearizer(ocp, params)

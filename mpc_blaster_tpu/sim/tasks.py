@@ -87,8 +87,10 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
     solver = ocp.solver
     N = ocp.N
     pc = poc_cfg or cfg.PocSolverConfig()
-    from mpc_blaster_tpu.sqp.rti import make_linearizer
+    from mpc_blaster_tpu.sqp.rti import fused_dyn_statics, make_linearizer
     lin = make_linearizer(ocp, params)
+    dyn = (fused_dyn_statics(ocp, 1)
+           if solver.qp_backend == "pallas_fused" else None)
 
     if poc_mode in ("online", "online_stagewise"):
         from mpc_blaster_tpu.dynamics.blaster import pack_stage_params
@@ -156,7 +158,7 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
                 spec_i, window = window_spec(i, x, state)
                 u0, state_new, warm_new, diag = rti_step_warm(
                     spec_i, state, warm, x, params, F, solver,
-                    linearizer=lin)
+                    linearizer=lin, dyn_statics=dyn)
                 x_next = plant_step(x, u0, plant_params)
                 out = (x_next, u0, window[0], diag.qp_kkt_stat,
                        diag.qp_kkt_eq)
@@ -169,7 +171,8 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
                 state, x = carry
                 spec_i, window = window_spec(i, x, state)
                 u0, state_new, diag = rti_step(spec_i, state, x, params, F,
-                                               solver, linearizer=lin)
+                                               solver, linearizer=lin,
+                                               dyn_statics=dyn)
                 x_next = plant_step(x, u0, plant_params)
                 out = (x_next, u0, window[0], diag.qp_kkt_stat,
                        diag.qp_kkt_eq)

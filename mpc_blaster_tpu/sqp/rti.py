@@ -114,6 +114,57 @@ def make_linearizer(ocp: cfg.OCPConfig, params: BlasterParams,
     return None
 
 
+def fused_dyn_statics(ocp: cfg.OCPConfig, num_steps: int = 1) -> tuple:
+    """STATIC dynamics constants for `qp_backend="pallas_fused"`: the
+    in-kernel linearization prologue (`ops/pallas_ipm.py`, `fuse_lin`)
+    bakes the BLASTER physical constants, the shooting interval and the
+    ERK substep count into the compiled kernel (they are per-vehicle
+    constants — a recompile on airframe change is the right trade).
+    Returns ((mass, g, arm_x, arm_y, yaw_c, Jx, Jy, Jz), dt, num_steps),
+    hashable for jit static args."""
+    m = ocp.model
+    return ((float(m.mass), float(m.gravity), float(m.arm_length_x),
+             float(m.arm_length_y), float(m.yaw_coefficient),
+             float(m.inertia_diag[0]), float(m.inertia_diag[1]),
+             float(m.inertia_diag[2])),
+            float(ocp.dt), int(num_steps))
+
+
+def _zero_linearizer(xbar, ubar, stage_params):
+    """A/B/c placeholders for the fused-kernel path (linearization runs
+    IN-KERNEL; `build_qp` still assembles cost gradients and bounds)."""
+    n, nx = ubar.shape[0], xbar.shape[1]
+    a = jnp.zeros((n, nx, nx), xbar.dtype)
+    b = jnp.zeros((n, nx, ubar.shape[1]), xbar.dtype)
+    return xbar[1:], a, b  # x_pred = xbar[1:] -> zero defects in QPData
+
+
+def _fused_qp_solve(spec: OCPSpec, state: RTIState, x0, params,
+                    solver: cfg.SolverConfig, dyn_statics, warm=None):
+    """Single-kernel RTI QP solve (linearize+solve fused on-chip); the
+    acados analog is the fully-fused C tick where one `solve()` call does
+    linearize+condense+solve (`blastermodel.py:277-289`)."""
+    from mpc_blaster_tpu.ops.pallas_ipm import (pallas_available,
+                                                pallas_fused_rti_solve)
+    if dyn_statics is None:
+        raise ValueError(
+            "qp_backend='pallas_fused' needs static dynamics constants: "
+            "build ticks via make_rti_step/closed_loop, or pass "
+            "dyn_statics=fused_dyn_statics(ocp, num_steps)")
+    model, dt, nsteps = dyn_statics
+    qp = build_qp(spec, state, x0, None, params,
+                  linearizer=_zero_linearizer)
+    qb = jax.tree.map(lambda a: a[None], qp)
+    wb = None if warm is None else jax.tree.map(lambda a: a[None], warm)
+    sol = pallas_fused_rti_solve(
+        qb, state.xbar[None], state.ubar[None], spec.stage_params[None],
+        model=model, dt=dt, num_steps=nsteps,
+        iters=solver.ipm_iters, mu0=solver.ipm_mu0,
+        alpha_frac=solver.ipm_alpha_frac, reg=max(solver.ipm_reg, 1e-6),
+        interpret=not pallas_available(), warm=wb)
+    return jax.tree.map(lambda a: a[0], sol)
+
+
 def build_qp(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
              F, params: BlasterParams, linearizer=None) -> QPData:
     """Linearize dynamics + cost around the iterate -> delta-form QP.
@@ -190,11 +241,18 @@ def solve_qp_backend(qp: QPData, solver: cfg.SolverConfig, warm=None):
 
 def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
              params: BlasterParams, F, solver: cfg.SolverConfig,
-             linearizer=None
+             linearizer=None, dyn_statics=None
              ) -> Tuple[jnp.ndarray, RTIState, RTIDiagnostics]:
-    """One real-time iteration. Returns (u0, updated iterate, diagnostics)."""
-    qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
-    sol = solve_qp_backend(qp, solver)
+    """One real-time iteration. Returns (u0, updated iterate, diagnostics).
+
+    With `solver.qp_backend == "pallas_fused"` the linearization runs
+    INSIDE the IPM kernel (single-kernel tick; `linearizer` is unused —
+    pass `dyn_statics=fused_dyn_statics(ocp, num_steps)`)."""
+    if solver.qp_backend == "pallas_fused":
+        sol = _fused_qp_solve(spec, state, x0, params, solver, dyn_statics)
+    else:
+        qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
+        sol = solve_qp_backend(qp, solver)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
         qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
@@ -283,7 +341,7 @@ def rti_step_jacreuse(spec: OCPSpec, state: RTIState, cache: JacCache,
 
 def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
                   params: BlasterParams, F, solver: cfg.SolverConfig,
-                  linearizer=None):
+                  linearizer=None, dyn_statics=None):
     """RTI tick with slack/dual warm starting (HPIPM warm_start=1 analog).
 
     Returns (u0, new_state, warm_out, diag). Pass `warm_out` into the next
@@ -302,8 +360,12 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
     """
     from mpc_blaster_tpu.qp.ipm import warm_start_from, warm_start_recenter
 
-    qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
-    sol = solve_qp_backend(qp, solver, warm=warm)
+    if solver.qp_backend == "pallas_fused":
+        sol = _fused_qp_solve(spec, state, x0, params, solver, dyn_statics,
+                              warm=warm)
+    else:
+        qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
+        sol = solve_qp_backend(qp, solver, warm=warm)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
         qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
@@ -445,9 +507,12 @@ def make_rti_step(ocp: cfg.OCPConfig, dtype=jnp.float32, num_steps: int = 1,
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=num_steps)
     solver = ocp.solver
     lin = make_linearizer(ocp, params, num_steps=num_steps)
+    dyn = (fused_dyn_statics(ocp, num_steps)
+           if solver.qp_backend == "pallas_fused" else None)
 
     def step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray):
-        return rti_step(spec, state, x0, params, F, solver, linearizer=lin)
+        return rti_step(spec, state, x0, params, F, solver, linearizer=lin,
+                        dyn_statics=dyn)
 
     return jax.jit(step) if jit else step
 

@@ -1,0 +1,124 @@
+"""Single-kernel RTI tick (qp_backend="pallas_fused"): the in-kernel
+linearization prologue must reproduce the host-linearized Pallas tick
+exactly — same Butcher tableau, same derivative mode (`fastlin._rk4_rows`
++ jvp), same IPM — so u0 parity is at f32-noise level, not SQP tolerance.
+
+Runs the kernel in interpret mode on CPU (pallas_available() is False
+here), like tests/test_pallas_ipm.py.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_blaster_tpu import config as cfg
+from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+from mpc_blaster_tpu.ocp.spec import build_spec
+from mpc_blaster_tpu.sqp.rti import (
+    fused_dyn_statics,
+    init_rti_state,
+    make_rti_step,
+    rti_step,
+    rti_step_warm,
+)
+
+
+def _small_ocp(qp_backend, n=8, ipm_iters=6, **kw):
+    base = cfg.simulation_preset().ocp
+    return dataclasses.replace(
+        base, N=n, Tf=n / 30.0,
+        solver=dataclasses.replace(base.solver, qp_backend=qp_backend,
+                                   ipm_iters=ipm_iters, **kw))
+
+
+def _x0(ocp):
+    x0 = np.array(cfg.simulation_preset().loop.x0, np.float32)
+    x0[2] += 0.3  # off the reference -> non-trivial QP
+    return jnp.asarray(x0)
+
+
+@pytest.mark.parametrize("n", [8, 11])  # 11: partial last lane group
+def test_fused_tick_matches_pallas_interpret(n):
+    """u0/state parity: in-kernel linearization vs host fastlin + pallas."""
+    ocp_f = _small_ocp("pallas_fused", n=n)
+    ocp_p = _small_ocp("pallas", n=n, lin_backend="fused")
+    spec = build_spec(ocp_f, dtype=jnp.float32)
+    x0 = _x0(ocp_f)
+
+    step_f = make_rti_step(ocp_f, jit=False)
+    step_p = make_rti_step(ocp_p, jit=False)
+    st0 = init_rti_state(ocp_f, x0)
+    u_f, st_f, diag_f = step_f(spec, st0, x0)
+    u_p, st_p, diag_p = step_p(spec, st0, x0)
+
+    # u0 (the deployed output) is pinned by x0 and well-determined
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_p),
+                               rtol=0, atol=2e-3)
+    # Raw deep-stage iterates are NOT compared: the BLASTER cost leaves
+    # the gimbal chain ~flat (R_swivel 1e-5), so f32 roundoff from the
+    # two programs' different fusion orders amplifies into near-free
+    # bang-bang differences there (verified: A/B/c agree bitwise and the
+    # 0-iteration seeds are identical; see CLAUDE.md numerical facts).
+    # Compare the QP objective on the SAME subproblem instead (measured
+    # here: 0.2% rel at 6 iters; the gate is 1%).
+    from mpc_blaster_tpu.dynamics.fastlin import make_fused_linearizer
+    from mpc_blaster_tpu.qp.data import qp_objective
+    params = BlasterParams.from_config(ocp_f.model, jnp.float32)
+    lin = make_fused_linearizer(ocp_f, params, 1)
+    from mpc_blaster_tpu.sqp.rti import build_qp
+    qp = build_qp(spec, st0, x0, None, params, linearizer=lin)
+    o_f = float(qp_objective(qp, st_f.xbar - st0.xbar, st_f.ubar - st0.ubar))
+    o_p = float(qp_objective(qp, st_p.xbar - st0.xbar, st_p.ubar - st0.ubar))
+    assert abs(o_f - o_p) <= 1e-2 * max(abs(o_p), 1.0)
+    assert float(diag_f.qp_kkt_eq) < 1e-2
+    assert abs(float(diag_f.qp_mu) - float(diag_p.qp_mu)) < 2e-2
+
+
+def test_fused_tick_matches_xla_riccati():
+    """Cross-backend: the fused single-kernel tick against the f32 XLA
+    Riccati IPM tick (fully independent code path)."""
+    ocp_f = _small_ocp("pallas_fused")
+    ocp_r = _small_ocp("riccati", ipm_iters=10)
+    spec = build_spec(ocp_f, dtype=jnp.float32)
+    x0 = _x0(ocp_f)
+
+    st0 = init_rti_state(ocp_f, x0)
+    u_f, _, _ = make_rti_step(ocp_f, jit=False)(spec, st0, x0)
+    u_r, _, _ = make_rti_step(ocp_r, jit=False)(spec, st0, x0)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_r),
+                               rtol=0, atol=5e-2)
+
+
+def test_fused_warm_tick_runs():
+    """Warm-start I/O composes with the fused prologue (shifted chain)."""
+    from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+
+    ocp = _small_ocp("pallas_fused", ipm_iters=4, warm_shift=True,
+                     warm_mode="primal")
+    spec = build_spec(ocp, dtype=jnp.float32)
+    x0 = _x0(ocp)
+    params = BlasterParams.from_config(ocp.model, jnp.float32)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    dyn = fused_dyn_statics(ocp, 1)
+
+    st = init_rti_state(ocp, x0)
+    warm = IpmWarmStart.zeros(ocp.N, 17, 6, jnp.float32)
+    for _ in range(3):
+        u0, st, warm, diag = rti_step_warm(spec, st, warm, x0, params, F,
+                                           ocp.solver, dyn_statics=dyn)
+        assert bool(jnp.all(jnp.isfinite(u0)))
+    assert float(diag.qp_kkt_eq) < 1e-1
+
+
+def test_fused_requires_statics():
+    ocp = _small_ocp("pallas_fused")
+    spec = build_spec(ocp, dtype=jnp.float32)
+    x0 = _x0(ocp)
+    params = BlasterParams.from_config(ocp.model, jnp.float32)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    st = init_rti_state(ocp, x0)
+    with pytest.raises(ValueError, match="dyn_statics"):
+        rti_step(spec, st, x0, params, F, ocp.solver)
