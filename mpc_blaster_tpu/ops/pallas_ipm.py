@@ -199,6 +199,8 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 Zlx_ref, zlx_ref, Zux_ref, zux_ref,
                 Zlu_ref, zlu_ref, Zuu_ref, zuu_ref,
                 xb_ref, ub_ref, sp_ref,
+                x0_ref, yrx_ref, yru_ref, yre_ref,
+                lbxa_ref, ubxa_ref, lbua_ref, ubua_ref,
                 dx_out, du_out, diag_out, P_hbm, Z_hbm,
                 slx_s, sux_s, lam_lx_s, lam_ux_s,
                 slu_s, suu_s, lam_lu_s, lam_uu_s,
@@ -211,6 +213,7 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 tlx_s, glx_s, tux_s, gux_s,
                 tlu_s, glu_s, tuu_s, guu_s,
                 ab_s, c_s,
+                qf_s, rf_s, lbxd_s, ubxd_s, lbud_s, ubud_s,
                 *, N: int, nx: int, nu: int, iters: int, mu0: float,
                 alpha_frac: float, reg: float, s_min: float, mu_min: float,
                 sigma_max: float, lam_max: float, eps_s: float,
@@ -396,6 +399,30 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
         def blend_l(w, cold, mask):
             return cold
 
+    # ---- fused cost/bounds (single-kernel tick, part 2) -----------------
+    # With fuse_lin the kernel also derives the delta-form cost gradients
+    # and box bounds from the iterate (`build_qp`'s q/r/bounds algebra,
+    # sqp/rti.py): q_k = Qs (xbar_k - yref_k) with Qs ALREADY dt-scaled
+    # by the host (terminal row unscaled, matching build_qp), bounds are
+    # single-row absolute boxes minus the iterate. After the fill the
+    # input names are REBOUND to the scratch refs, so the whole IPM below
+    # is oblivious. dx0 is derived in init (x0 - xbar_0).
+    if fuse_lin:
+        def cost_fill(k, _):
+            qf_s[k] = _contractT_vec(Qs_ref[...], xb_ref[k] - yrx_ref[k])
+            rf_s[k] = _contractT_vec(R1_ref[...], ub_ref[k] - yru_ref[k])
+            lbxd_s[k] = lbxa_ref[...] - xb_ref[k + 1]
+            ubxd_s[k] = ubxa_ref[...] - xb_ref[k + 1]
+            lbud_s[k] = lbua_ref[...] - ub_ref[k]
+            ubud_s[k] = ubua_ref[...] - ub_ref[k]
+            return 0
+
+        jax.lax.fori_loop(0, N, cost_fill, 0)
+        qf_s[N] = _contractT_vec(Qt_ref[...], xb_ref[N] - yre_ref[...])
+        q_ref, r_ref = qf_s, rf_s
+        lbx_ref, ubx_ref = lbxd_s, ubxd_s
+        lbu_ref, ubu_ref = lbud_s, ubud_s
+
     # ---- bound-group descriptors (trace-time tuple) ---------------------
     # index: 0 bound ref, 1 sign (+1 lower/-1 upper), 2 mask fn, 3 slack,
     # 4 dual, 5 violation t, 6 violation dual gam, 7 quad penalty Z,
@@ -519,7 +546,10 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     # ---- initial point: rollout (du=0) + mask-aware 10%-inset clamp,
     # centered slacks/duals, then warm blend (reads the aliased warm
     # inputs BEFORE overwriting them) ----
-    dx_s[0] = dx0_ref[...]
+    if fuse_lin:
+        dx_s[0] = x0_ref[...] - xb_ref[0]
+    else:
+        dx_s[0] = dx0_ref[...]
 
     def clamp_into(v, lb, ub, ml, mu_):
         both = (ml > 0.5) & (mu_ > 0.5)
@@ -1036,26 +1066,30 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                                 stream_big=stream_big)
 
 
-def pallas_fused_rti_solve(data: QPData, xbar, ubar, stage_params,
+def pallas_fused_rti_solve(xbar, ubar, stage_params, x0, Q, Q_t, R,
+                           yref_x, yref_u, yref_e, lbx, ubx, lbu, ubu,
                            model: tuple, dt: float, num_steps: int = 1,
                            iters: int = 6, mu0: float = 1e-1,
                            alpha_frac: float = 0.995, reg: float = 1e-6,
                            interpret: bool = False, warm=None) -> QPSolution:
-    """Single-kernel RTI QP solve: linearization fused INTO the IPM kernel.
+    """Single-kernel RTI QP solve: the ENTIRE QP construction — RK4
+    linearization (forward sensitivities + shooting defects), dt-scaled
+    cost gradients, delta-form box bounds and the pinned dx0 — happens
+    inside the IPM kernel (`fuse_lin` prologue); the host passes only the
+    iterate, the OCP spec tensors and x0. The TPU analog of acados'
+    fully-fused C tick where one solver call does linearize+condense+
+    solve (`blastermodel.py:277-289`).
 
-    `data` carries the cost/bounds/dx0 of the delta-form QP with A/B/c as
-    placeholders (zeros; ignored): the kernel derives A/B/c on-chip from
-    the iterate via RK4 forward sensitivities (`fuse_lin` prologue) — the
-    TPU analog of acados' fully-fused C tick where one solver call does
-    linearize+condense+solve (`blastermodel.py:277-289`).
-
-    Arguments beyond `pallas_box_qp_solve`:
+    Arguments (leading batch axis B == 1 everywhere):
       xbar (B, N+1, nx), ubar (B, N, nu), stage_params (B, N, np) — the
         linearization point and per-stage 25-dim POC parameters;
-      model — STATIC tuple of the BLASTER physical constants
-        (mass, gravity, arm_x, arm_y, yaw_coeff, Jx, Jy, Jz), see
-        `sqp/rti.py::fused_dyn_statics`;
-      dt / num_steps — shooting interval + ERK substeps (static).
+      x0 (B, nx) — measured state (pins dx0 = x0 - xbar_0 in-kernel);
+      Q/Q_t/R — stage/terminal Hessians; Q and R must arrive ALREADY
+        dt-scaled (build_qp's dtw*Q / dtw*R; Q_t unscaled) — loop
+        invariant, so the scaling hoists out of deployed scans;
+      yref_x (B, N, nx), yref_u (B, N, nu), yref_e (B, nx) — references;
+      lbx/ubx (B, nx), lbu/ubu (B, nu) — SINGLE-ROW absolute boxes
+        (stage-invariant, the deployment shape; +-inf allowed).
 
     Restrictions: B == 1 only (the prologue repurposes the 128 lanes as
     (node, tangent-column) slots, which requires the IPM's lanes to be
@@ -1063,14 +1097,16 @@ def pallas_fused_rti_solve(data: QPData, xbar, ubar, stage_params,
     VMEM-resident only (no HBM streaming; the whole point is zero
     off-chip traffic), so N is bounded by the VMEM budget (N<=120
     validated envelope); BLASTER model only (the ODE is baked into the
-    prologue — quad13 and friends keep `qp_backend="pallas"`).
+    prologue — quad13 and friends keep `qp_backend="pallas"`). `model`
+    is the STATIC tuple from `sqp/rti.py::fused_dyn_statics`.
     """
-    if data.dx0.ndim != 2 or data.dx0.shape[0] != 1:
+    if x0.ndim != 2 or x0.shape[0] != 1:
         raise ValueError("pallas_fused_rti_solve is the B=1 latency path "
-                         f"(got batch {data.dx0.shape[0]}); use "
+                         f"(got batch {x0.shape[0]}); use "
                          "pallas_box_qp_solve for batched solves")
-    return _pallas_box_qp_solve(data, warm, None,
-                                (xbar, ubar, stage_params),
+    fuse = (xbar, ubar, stage_params, x0, Q, Q_t, R,
+            yref_x, yref_u, yref_e, lbx, ubx, lbu, ubu)
+    return _pallas_box_qp_solve(None, warm, None, fuse,
                                 iters=iters, mu0=mu0,
                                 alpha_frac=alpha_frac, reg=reg,
                                 interpret=interpret, stream_p=False,
@@ -1089,10 +1125,14 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
                          stream_big: bool | None, model=None,
                          dt_dyn: float = 0.0,
                          nsteps: int = 1) -> QPSolution:
-    B = data.A.shape[0]
-    N, nx, nu = data.A.shape[1], data.A.shape[-1], data.B.shape[-1]
-    f32 = jnp.float32
     fuse_on = fuse is not None
+    if fuse_on:
+        B = fuse[3].shape[0]
+        N, nx, nu = fuse[1].shape[1], fuse[0].shape[-1], fuse[1].shape[-1]
+    else:
+        B = data.A.shape[0]
+        N, nx, nu = data.A.shape[1], data.A.shape[-1], data.B.shape[-1]
+    f32 = jnp.float32
 
     pad = (-B) % LANES
 
@@ -1110,31 +1150,45 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
     def san(b, lo):
         return jnp.where(jnp.isfinite(b), b, (-_BIGB if lo else _BIGB))
 
-    dx0 = prep(data.dx0)
-    T_tiles0 = dx0.shape[0]
     np_sp = 0 if fuse is None else fuse[2].shape[-1]
     if fuse_on:
-        # A/B/c are derived in-kernel from the iterate; their input slots
-        # shrink to dummies (never read — `fuse_lin` gates at trace time)
-        dum = jnp.zeros((T_tiles0, 1, LANES), f32)
-        AB, c = dum, dum
+        # A/B/c, q/r, delta bounds and dx0 are all derived in-kernel from
+        # the iterate + spec tensors; their input slots shrink to dummies
+        # (never read — `fuse_lin` gates at trace time)
         xb = prep(fuse[0])
         ub = prep(fuse[1])
         sp = prep(fuse[2])
+        x0i = prep(fuse[3])
+        Qs = prep(fuse[4])
+        Qt = prep(fuse[5])
+        R1 = prep(fuse[6])
+        yrx = prep(fuse[7])
+        yru = prep(fuse[8])
+        yre = prep(fuse[9])
+        lbxa = prep(san(fuse[10], True))
+        ubxa = prep(san(fuse[11], False))
+        lbua = prep(san(fuse[12], True))
+        ubua = prep(san(fuse[13], False))
+        T_tiles0 = x0i.shape[0]
+        dum = jnp.zeros((T_tiles0, 1, LANES), f32)
+        AB = c = q = r = lbx = ubx = lbu = ubu = dx0 = dum
     else:
         AB = prep(jnp.concatenate([data.A, data.B], axis=-1))
         c = prep(data.c)
+        Qs = prep(data.Q[:, 0])
+        Qt = prep(data.Q[:, -1])
+        q = prep(data.q)
+        R1 = prep(data.R[:, 0])
+        r = prep(data.r)
+        lbx = prep(san(data.lbx[:, 1:], True))
+        ubx = prep(san(data.ubx[:, 1:], False))
+        lbu = prep(san(data.lbu, True))
+        ubu = prep(san(data.ubu, False))
+        dx0 = prep(data.dx0)
+        T_tiles0 = dx0.shape[0]
         dum = jnp.zeros((T_tiles0, 1, LANES), f32)
-        xb = ub = sp = dum
-    Qs = prep(data.Q[:, 0])
-    Qt = prep(data.Q[:, -1])
-    q = prep(data.q)
-    R1 = prep(data.R[:, 0])
-    r = prep(data.r)
-    lbx = prep(san(data.lbx[:, 1:], True))
-    ubx = prep(san(data.ubx[:, 1:], False))
-    lbu = prep(san(data.lbu, True))
-    ubu = prep(san(data.ubu, False))
+        xb = ub = sp = x0i = yrx = yru = yre = dum
+        lbxa = ubxa = lbua = ubua = dum
     warm_on = warm is not None
     if warm_on:
         wvalid = prep(jnp.reshape(warm.valid, (B, 1)))
@@ -1182,9 +1236,11 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
         if soft_on:
             vecs += 2 * (4 * N * nx + 4 * N * nu)  # penalties + t/gam
         if fuse_on:
-            # ab_s scratch replaces the (dummied) AB input byte-for-byte;
-            # the net additions are c_s + the xbar/ubar/stage-param inputs
-            vecs += N * nx + (N + 1) * nx + N * nu + N * np_sp
+            # ab_s/qf/rf/bound scratch replace the (dummied) inputs
+            # byte-for-byte; the net additions are c_s, the iterate/spec
+            # inputs (xbar/ubar/sp/x0/yrefs) and the single-row abs boxes
+            vecs += (N * nx + (N + 1) * nx + N * nu + N * np_sp
+                     + N * nx + N * nu + 2 * nx + 2 * (nx + nu))
         return (mats + vecs) * lane
     if soft_on:
         def pen_in(pen, b):
@@ -1262,7 +1318,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
     xs = jax.ShapeDtypeStruct((N, nx, LANES), f32)
     us = jax.ShapeDtypeStruct((N, nu, LANES), f32)
     in_specs = ([anyspec() if stream_big else vspec()]
-                + [vspec()] * 31)
+                + [vspec()] * 39)
     out_specs = (vspec(), vspec(), vspec(),
                  anyspec(), anyspec(),
                  vspec(), vspec(), vspec(), vspec(),
@@ -1319,8 +1375,17 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
                 pltpu.VMEM(tu, f32), pltpu.VMEM(tu, f32)]   # tuu guu
     ab_shape = ((N, nx, nx + nu, LANES) if fuse_on else (1, 1, 1, LANES))
     cs_shape = ((N, nx, LANES) if fuse_on else (1, 1, LANES))
+    fx = ((N + 1, nx, LANES) if fuse_on else (1, 1, LANES))
+    fbx = ((N, nx, LANES) if fuse_on else (1, 1, LANES))
+    fbu = ((N, nu, LANES) if fuse_on else (1, 1, LANES))
     scratch += [pltpu.VMEM(ab_shape, f32),   # ab_s (fused A/B record)
-                pltpu.VMEM(cs_shape, f32)]   # c_s (fused defects)
+                pltpu.VMEM(cs_shape, f32),   # c_s (fused defects)
+                pltpu.VMEM(fx, f32),         # qf_s (fused state grads)
+                pltpu.VMEM(fbu, f32),        # rf_s (fused control grads)
+                pltpu.VMEM(fbx, f32),        # lbxd_s (delta bounds)
+                pltpu.VMEM(fbx, f32),        # ubxd_s
+                pltpu.VMEM(fbu, f32),        # lbud_s
+                pltpu.VMEM(fbu, f32)]        # ubud_s
 
     # DELIBERATELY no input_output_aliases: see the module-level NOTE
     # (CSE'd warm inputs + aliasing = output corruption inside scans).
@@ -1345,7 +1410,8 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
         one_tile, (AB, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0,
                    wvalid, wslx, wsux, wllx, wlux, wslu, wsuu, wllu, wluu,
                    Zlx_in, zlx_in, Zux_in, zux_in,
-                   Zlu_in, zlu_in, Zuu_in, zuu_in, xb, ub, sp))
+                   Zlu_in, zlu_in, Zuu_in, zuu_in, xb, ub, sp,
+                   x0i, yrx, yru, yre, lbxa, ubxa, lbua, ubua))
     (dx_bl, du_bl, diag, _p_dump, _z_dump,
      oslx, osux, ollx, olux, oslu, osuu, ollu, oluu) = outs
 

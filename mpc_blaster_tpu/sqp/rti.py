@@ -130,20 +130,13 @@ def fused_dyn_statics(ocp: cfg.OCPConfig, num_steps: int = 1) -> tuple:
             float(ocp.dt), int(num_steps))
 
 
-def _zero_linearizer(xbar, ubar, stage_params):
-    """A/B/c placeholders for the fused-kernel path (linearization runs
-    IN-KERNEL; `build_qp` still assembles cost gradients and bounds)."""
-    n, nx = ubar.shape[0], xbar.shape[1]
-    a = jnp.zeros((n, nx, nx), xbar.dtype)
-    b = jnp.zeros((n, nx, ubar.shape[1]), xbar.dtype)
-    return xbar[1:], a, b  # x_pred = xbar[1:] -> zero defects in QPData
-
-
 def _fused_qp_solve(spec: OCPSpec, state: RTIState, x0, params,
                     solver: cfg.SolverConfig, dyn_statics, warm=None):
-    """Single-kernel RTI QP solve (linearize+solve fused on-chip); the
-    acados analog is the fully-fused C tick where one `solve()` call does
-    linearize+condense+solve (`blastermodel.py:277-289`)."""
+    """Single-kernel RTI QP solve: linearization, cost gradients, delta
+    bounds and dx0 are ALL assembled inside the IPM kernel — the host
+    passes the iterate + raw spec tensors. The acados analog is the
+    fully-fused C tick where one `solve()` call does linearize+condense+
+    solve (`blastermodel.py:277-289`)."""
     from mpc_blaster_tpu.ops.pallas_ipm import (pallas_available,
                                                 pallas_fused_rti_solve)
     if dyn_statics is None:
@@ -152,12 +145,14 @@ def _fused_qp_solve(spec: OCPSpec, state: RTIState, x0, params,
             "build ticks via make_rti_step/closed_loop, or pass "
             "dyn_statics=fused_dyn_statics(ocp, num_steps)")
     model, dt, nsteps = dyn_statics
-    qp = build_qp(spec, state, x0, None, params,
-                  linearizer=_zero_linearizer)
-    qb = jax.tree.map(lambda a: a[None], qp)
     wb = None if warm is None else jax.tree.map(lambda a: a[None], warm)
+    dtw = spec.dt  # cost dt-scaling == shooting interval (build_qp)
     sol = pallas_fused_rti_solve(
-        qb, state.xbar[None], state.ubar[None], spec.stage_params[None],
+        state.xbar[None], state.ubar[None], spec.stage_params[None],
+        x0[None], (dtw * spec.Q)[None], spec.Q_t[None],
+        (dtw * spec.R)[None], spec.yref_x[None], spec.yref_u[None],
+        spec.yref_e[None], spec.lbx[None], spec.ubx[None],
+        spec.lbu[None], spec.ubu[None],
         model=model, dt=dt, num_steps=nsteps,
         iters=solver.ipm_iters, mu0=solver.ipm_mu0,
         alpha_frac=solver.ipm_alpha_frac, reg=max(solver.ipm_reg, 1e-6),
