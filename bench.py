@@ -30,7 +30,9 @@ fields break the numbers down (harmless to JSON parsers).
 """
 import dataclasses
 import json
+import os
 import sys
+import time
 
 import numpy as np
 
@@ -40,6 +42,32 @@ import jax.numpy as jnp
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def err_s(e):
+    """One short ASCII line for an exception (r3 post-mortem: a raw tunnel
+    error embedded ANSI/control bytes and HTTP noise into the artifact)."""
+    s = " ".join(str(e).split())
+    s = "".join(ch for ch in s if 32 <= ord(ch) < 127)
+    return s[:120]
+
+
+_TRANSIENT = ("500", "unavailable", "deadline", "connection", "tunnel",
+              "socket", "reset", "timed out", "transport")
+
+
+def with_retry(fn, attempts=2, sleep_s=8.0):
+    """Retry transient tunnel/compile-service failures (the r3 flagship
+    row died on a one-shot 'HTTP 500: tpu_compile_helper' with no retry)."""
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if a + 1 >= attempts or not any(
+                    t in str(e).lower() for t in _TRANSIENT):
+                raise
+            log(f"bench: transient failure, retrying: {err_s(e)}")
+            time.sleep(sleep_s)
 
 
 def main():
@@ -99,7 +127,8 @@ def main():
                 return sts, u0s[0, 0]
             sts, _ = jax.lax.scan(body, states, None, length=K)
             return sts
-        dt = device_time(lambda: k_ticks(spec_b, states, x0s), reps=3)
+        dt = with_retry(lambda: device_time(
+            lambda: k_ticks(spec_b, states, x0s), reps=3))
         return (B * K) / dt
 
     for backend in (["xla", "pallas"] if have_pallas else ["xla"]):
@@ -110,7 +139,7 @@ def main():
             log(f"bench: {backend} = {out[f'{backend}_solves_per_s']}")
         except Exception as e:
             out[f"{backend}_solves_per_s"] = 0.0
-            out[f"{backend}_error"] = str(e)[:200]
+            out[f"{backend}_error"] = err_s(e)
     rates = [out.get("xla_solves_per_s", 0.0),
              out.get("pallas_solves_per_s", 0.0)]
     best = max(rates)
@@ -125,7 +154,7 @@ def main():
             batched_rate(ocp, spec, 4096, 3, qp_backend), 1)
     except Exception as e:
         out["batched4096_solves_per_s"] = 0.0
-        out["batched4096_error"] = str(e)[:200]
+        out["batched4096_error"] = err_s(e)
 
     # flagship N=60 batched rows
     for backend in (["xla", "pallas"] if have_pallas else ["xla"]):
@@ -135,7 +164,7 @@ def main():
                 batched_rate(ocp60, spec60, 256, 3, backend), 1)
         except Exception as e:
             out[f"n60_{backend}_solves_per_s"] = 0.0
-            out[f"n60_{backend}_error"] = str(e)[:200]
+            out[f"n60_{backend}_error"] = err_s(e)
 
     # ---- single-trajectory on-device latency (chained, XLA path) ----
     log("bench: single-trajectory XLA latency chain")
@@ -151,7 +180,8 @@ def main():
             return st, u0[0]
         st, _ = jax.lax.scan(body, st, None, length=K2)
         return st
-    lat = device_time(lambda: chain(spec, st1, x0), reps=5) / K2
+    lat = with_retry(lambda: device_time(
+        lambda: chain(spec, st1, x0), reps=5)) / K2
     out["single_solve_p50_ms"] = round(lat * 1e3, 3)
     out["single_solve_hz"] = round(1.0 / lat, 1)
 
@@ -168,7 +198,8 @@ def main():
         return runner, ocp_rt
 
     def rt_hz(spec_n, runner, K=32, reps=8):
-        latw = device_time(lambda: runner(spec_n, x0), reps=reps) / K
+        latw = with_retry(lambda: device_time(
+            lambda: runner(spec_n, x0), reps=reps)) / K
         return latw
 
     rows = [
@@ -217,7 +248,7 @@ def main():
                 f"({out[f'{name}_solve_hz']} Hz)")
         except Exception as e:
             out[f"{name}_solve_hz"] = 0.0
-            out[f"{name}_error"] = str(e)[:200]
+            out[f"{name}_error"] = err_s(e)
     out["rt6_solve_p50_ms"] = round(lat_ms.get("rt6", 0.0), 3)
     out["warm6_solve_p50_ms"] = round(lat_ms.get("warm6", 0.0), 3)
 
@@ -251,15 +282,15 @@ def main():
             (st, x), _ = jax.lax.scan(body, (st0, xa), None, length=K2)
             return x
         st_s = init_rti_state(ocp, x0, dtype)
-        lat_s = device_time(lambda: soft_chain(spec, st_s, x0, soft_b),
-                            reps=8) / K2
+        lat_s = with_retry(lambda: device_time(
+            lambda: soft_chain(spec, st_s, x0, soft_b), reps=8)) / K2
         out["rt6_soft_solve_hz"] = round(1.0 / lat_s, 1)
         out["rt6_soft_vs_hard_ratio"] = round(
             lat_s * out.get("rt6_solve_hz", 0.0) / 1.0, 2)
         log(f"bench: soft rt6 = {lat_s*1e3:.3f} ms")
     except Exception as e:
         out["rt6_soft_solve_hz"] = 0.0
-        out["rt6_soft_error"] = str(e)[:200]
+        out["rt6_soft_error"] = err_s(e)
 
     # ---- kernel-only speed-of-light accounting (roofline) ----
     if have_pallas:
@@ -287,14 +318,15 @@ def main():
                     q, eqs = jax.lax.scan(body, q, None, length=K2)
                     return eqs
                 log(f"bench: kernel-only chain N={N_k}")
-                kt = device_time(lambda: kchain(qpb), reps=5) / K2
+                kt = with_retry(lambda: device_time(
+                    lambda: kchain(qpb), reps=5)) / K2
                 r = speed_of_light(N_k, cfg.NX, cfg.NU, 6, kt)
                 out[f"kernel6_n{N_k}_ms"] = round(kt * 1e3, 3)
                 out[f"kernel6_n{N_k}_model_frac"] = round(
                     r["model_frac"], 3)
                 out[f"kernel6_n{N_k}_bound_by"] = r["bound_by"]
             except Exception as e:
-                out[f"kernel6_n{N_k}_error"] = str(e)[:200]
+                out[f"kernel6_n{N_k}_error"] = err_s(e)
 
     # ---- control quality: figure-8 tracking of the deployed configs ----
     def fig8(ocp_n, n_steps=220, warm=False):
@@ -327,7 +359,7 @@ def main():
             out[key] = round(fig8(ocp_rt, warm=kw.get("warm", False)), 4)
         except Exception as e:
             out[key] = -1.0
-            out[f"{key}_error"] = str(e)[:200]
+            out[f"{key}_error"] = err_s(e)
     try:  # 12-iteration XLA reference quality rows (r1/r2 continuity;
         # the N=30 row is the exact definition behind r1's
         # figure8_tracking_err_m_after_settle = 0.0183)
@@ -341,7 +373,7 @@ def main():
             fig8(dataclasses.replace(ocp30, solver=sv30)), 4)
     except Exception as e:
         out["fig8_cold12_settle_err_m"] = -1.0
-        out["fig8_cold12_error"] = str(e)[:200]
+        out["fig8_cold12_error"] = err_s(e)
 
     # ---- transient stress: altitude step overshoot (warm-start gate) ----
     def overshoot(ocp_n, warm):
@@ -358,7 +390,7 @@ def main():
         out["alt_overshoot_warm4shift_m"] = round(
             overshoot(ocp_w4, True), 4)
     except Exception as e:
-        out["alt_overshoot_error"] = str(e)[:200]
+        out["alt_overshoot_error"] = err_s(e)
 
     # ---- second model family: quad13 hover-hold (BASELINE config 1) ----
     try:
@@ -383,11 +415,12 @@ def main():
                 return st, u0[0]
             st, _ = jax.lax.scan(body, st, None, length=K2)
             return st
-        qlat = device_time(lambda: qchain(qspec, qst, qx0), reps=5) / K2
+        qlat = with_retry(lambda: device_time(
+            lambda: qchain(qspec, qst, qx0), reps=5)) / K2
         out["quad13_hover_solve_hz"] = round(1.0 / qlat, 1)
     except Exception as e:
         out["quad13_hover_solve_hz"] = 0.0
-        out["quad13_error"] = str(e)[:200]
+        out["quad13_error"] = err_s(e)
 
     # ---- flagship demo: blast-scan TRUE-POC washing accuracy ----
     # Reference config (POC Jacobians frozen pre-loop,
@@ -437,7 +470,7 @@ def main():
         out["blast_aggr_err_stagewise_m"] = round(
             blast_aggr("online_stagewise"), 4)
     except Exception as e:
-        out["blast_error"] = str(e)[:200]
+        out["blast_error"] = err_s(e)
 
     baseline_rate = 30.0  # reference real-time solve rate (33.3 ms/tick)
     final = {
@@ -447,20 +480,56 @@ def main():
         "vs_baseline": round(best / baseline_rate, 2),
         "backend": best_backend,
         "rt_qp_backend": qp_backend,
-        "realtime_budget_ms": 33.333,
-        "batch": 1024,
-        "device": str(dev),
-        "timing_note": ("r3: value-fetch timing minus RTT "
-                        "(utils/timing.py); r1/r2 used block_until_ready "
-                        "which does not reliably wait on this platform"),
-        "fig8_metric_note": ("max xy err, ticks 60..220 of 220, N=20 "
-                             "(N=30 bridge row: fig8_n30_rt6_settle_err_m)"),
-        "warm6_note": ("r3 warm rows run the SHIFTED centrality-"
-                       "conditioned chain; raw warm chains diverge on "
-                       "altitude steps (scripts/probe_warm_transient.py)"),
+        "notes": "docs/BENCH_NOTES.md",
+        "device": str(dev)[:24],
     }
     final.update(out)
-    print(json.dumps(final))
+
+    # Full artifact (superset of every round's keys) on disk: the driver
+    # retains only a ~2000-char TAIL of the merged output and parses the
+    # last JSON line inside it — r3's 3.3 KB line was head-truncated and
+    # recorded as "parsed": null. The stdout line below is therefore kept
+    # compact (guaranteed <= 1800 chars, json.loads-verified); anything
+    # dropped to fit lives in BENCH_R4_FULL.json + the stderr log.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_R4_FULL.json"), "w") as f:
+            json.dump(final, f, indent=1, sort_keys=True)
+        log("bench: full artifact -> BENCH_R4_FULL.json")
+    except Exception as e:
+        log(f"bench: full-artifact write failed: {err_s(e)}")
+    log("bench FULL: " + json.dumps(final))
+
+    LIMIT = 1800
+    compact = dict(final)
+    compact["full_artifact"] = "BENCH_R4_FULL.json"
+
+    def dumps(d):
+        return json.dumps(d, separators=(",", ":"))
+
+    # lowest-value-first drop order; only consulted if the line is long
+    drop_order = (
+        [k for k in compact if k.endswith("_error")]
+        + [k for k in compact if k.endswith("_bound_by")]
+        + ["single_solve_p50_ms", "rt6_solve_p50_ms", "warm6_solve_p50_ms",
+           "blast_aggr_err_frozen_m", "blast_aggr_err_online_m",
+           "fig8_n30_cold12_settle_err_m", "fig8_n30_rt6_settle_err_m",
+           "rt4jr4_solve_hz", "warm3shift_n30_solve_hz", "device"]
+        + [k for k in compact if k.startswith("kernel6_")]
+    )
+    line = dumps(compact)
+    for k in drop_order:
+        if len(line) <= LIMIT:
+            break
+        if compact.pop(k, None) is not None:
+            line = dumps(compact)
+    if len(line) > LIMIT:  # last resort: the contract keys always fit
+        line = dumps({k: compact[k] for k in
+                      ("metric", "value", "unit", "vs_baseline")})
+    json.loads(line)  # assert round-trip BEFORE printing
+    assert "\n" not in line and len(line) <= LIMIT
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

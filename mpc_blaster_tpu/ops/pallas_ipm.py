@@ -84,7 +84,15 @@ LANES = 128
 # requests that much (+ stack margin) via CompilerParams; HBM streaming
 # only engages when the RESIDENT estimate exceeds _RESIDENT_BUDGET.
 _RESIDENT_BUDGET = 88 * 1024 * 1024
-_VMEM_STACK_MARGIN = 10 * 1024 * 1024
+# Stack margin on top of the modeled buffer bytes: Mosaic's value stack
+# grows with the instance (r4 evidence: the fused N=60 kernel needs
+# 47.57 MiB against 36.5 MiB of modeled buffers — the flat 10 MiB margin
+# of r3 came up 1.07 MiB short and the compile died with a scoped-vmem
+# stack OOM, the root cause of BENCH_r03's rt6f_n60_solve_hz = 0.0).
+# Flat floor + 30% proportional part keeps every resident config well
+# clear while staying under the 120 MB hardware-probed cap (N=120 fused:
+# 72.5 MiB buffers -> 106 MiB request).
+_VMEM_STACK_MARGIN = 12 * 1024 * 1024
 _VMEM_CAP = 120 * 1024 * 1024
 _BIG = 1e20     # slack sentinel for masked (infinite) bounds
 _BIGB = 1e18    # finite stand-in for an infinite bound value
@@ -1104,6 +1112,13 @@ def pallas_fused_rti_solve(xbar, ubar, stage_params, x0, Q, Q_t, R,
         raise ValueError("pallas_fused_rti_solve is the B=1 latency path "
                          f"(got batch {x0.shape[0]}); use "
                          "pallas_box_qp_solve for batched solves")
+    nx_f, nu_f = xbar.shape[-1], ubar.shape[-1]
+    if nx_f + nu_f > LANES:
+        # the prologue packs one node's (nx+nu) tangent columns onto the
+        # 128 lanes; a larger model would silently leave columns unseeded
+        # (truncated A/B) — fail loudly instead
+        raise ValueError(f"fused linearization needs nx+nu <= {LANES} "
+                         f"(got {nx_f}+{nu_f}); use qp_backend='pallas'")
     fuse = (xbar, ubar, stage_params, x0, Q, Q_t, R,
             yref_x, yref_u, yref_e, lbx, ubx, lbu, ubu)
     return _pallas_box_qp_solve(None, warm, None, fuse,
@@ -1236,10 +1251,12 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
         if soft_on:
             vecs += 2 * (4 * N * nx + 4 * N * nu)  # penalties + t/gam
         if fuse_on:
-            # ab_s/qf/rf/bound scratch replace the (dummied) inputs
-            # byte-for-byte; the net additions are c_s, the iterate/spec
-            # inputs (xbar/ubar/sp/x0/yrefs) and the single-row abs boxes
-            vecs += (N * nx + (N + 1) * nx + N * nu + N * np_sp
+            # ab_s/qf/rf/bound/c_s scratch replace the (dummied) inputs
+            # byte-for-byte (the base accounting above already counts
+            # c/q/r/bounds/dx0 at full size, covering the scratch twins);
+            # the net additions are the iterate/spec inputs
+            # (xbar/ubar/sp/x0/yrefs) and the single-row abs boxes
+            vecs += ((N + 1) * nx + N * nu + N * np_sp
                      + N * nx + N * nu + 2 * nx + 2 * (nx + nu))
         return (mats + vecs) * lane
     if soft_on:
@@ -1298,8 +1315,9 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
                     if N % c == 0 and c * row_bytes <= 2_500_000)
     else:
         chunk = 1
-    vmem_limit = min(_buffer_bytes(stream_p, stream_big, chunk)
-                     + _VMEM_STACK_MARGIN, _VMEM_CAP)
+    buf_bytes = _buffer_bytes(stream_p, stream_big, chunk)
+    vmem_limit = min(buf_bytes + _VMEM_STACK_MARGIN + (buf_bytes * 3) // 10,
+                     _VMEM_CAP)
 
     kernel = functools.partial(
         _ipm_kernel, N=N, nx=nx, nu=nu, iters=iters, mu0=mu0,
