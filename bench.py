@@ -292,6 +292,37 @@ def main():
         out["rt6_soft_solve_hz"] = 0.0
         out["rt6_soft_error"] = err_s(e)
 
+    # soft + fused single-kernel tick (r4: linearize + soft IPM, one
+    # pallas_call — the acados ns>0 analog at full fusion)
+    if have_pallas:
+        try:
+            log("bench: soft rt6f (fused) deployed loop")
+            from mpc_blaster_tpu.sqp.rti import fused_dyn_statics
+            sv_sf = dataclasses.replace(ocp.solver,
+                                        qp_backend="pallas_fused",
+                                        ipm_iters=6)
+            dyn_sf = fused_dyn_statics(ocp, 1)
+
+            @jax.jit
+            def soft_chain_f(spec_a, st0, xa, soft_a):
+                def body(carry, _):
+                    st, x = carry
+                    u0, st, diag, res = rti_step_soft(
+                        spec_a, st, x, params_s, F_s, sv_sf, soft_a,
+                        dyn_statics=dyn_sf)
+                    x = F_s(x, u0, spec_a.stage_params[0], params_s)
+                    return (st, x), u0[0]
+                (st, x), _ = jax.lax.scan(body, (st0, xa), None, length=K2)
+                return x
+            st_sf = init_rti_state(ocp, x0, dtype)
+            lat_sf = with_retry(lambda: device_time(
+                lambda: soft_chain_f(spec, st_sf, x0, soft_b), reps=8)) / K2
+            out["rt6f_soft_solve_hz"] = round(1.0 / lat_sf, 1)
+            log(f"bench: soft rt6f = {lat_sf*1e3:.3f} ms")
+        except Exception as e:
+            out["rt6f_soft_solve_hz"] = 0.0
+            out["rt6f_soft_error"] = err_s(e)
+
     # ---- kernel-only speed-of-light accounting (roofline) ----
     if have_pallas:
         from mpc_blaster_tpu.ops.pallas_ipm import pallas_box_qp_solve
@@ -418,8 +449,27 @@ def main():
         qlat = with_retry(lambda: device_time(
             lambda: qchain(qspec, qst, qx0), reps=5)) / K2
         out["quad13_hover_solve_hz"] = round(1.0 / qlat, 1)
+
+        if have_pallas:
+            # r4: quad13 through the SINGLE-KERNEL fused tick (the
+            # rows-form family registry, dynamics/fastlin.py::FAMILIES)
+            qsv_f = dataclasses.replace(cfg.SolverConfig(), ipm_iters=6,
+                                        qp_backend="pallas_fused")
+            qstep_f = make_quad13_rti_step(qc, dtype=dtype, jit=False,
+                                           solver=qsv_f)
+
+            @jax.jit
+            def qchain_f(spec_q, st, x):
+                def body(st, _):
+                    u0, st, _ = qstep_f(spec_q, st, x)
+                    return st, u0[0]
+                st, _ = jax.lax.scan(body, st, None, length=K2)
+                return st
+            qlat_f = with_retry(lambda: device_time(
+                lambda: qchain_f(qspec, qst, qx0), reps=5)) / K2
+            out["quad13f_hover_solve_hz"] = round(1.0 / qlat_f, 1)
     except Exception as e:
-        out["quad13_hover_solve_hz"] = 0.0
+        out["quad13_hover_solve_hz"] = out.get("quad13_hover_solve_hz", 0.0)
         out["quad13_error"] = err_s(e)
 
     # ---- flagship demo: blast-scan TRUE-POC washing accuracy ----

@@ -113,53 +113,129 @@ def _ode_rows(X, U, P, params: BlasterParams):
     ], axis=0)
 
 
-def _rk4_rows(X, U, P, params, dt, num_steps):
+def _ode_rows_dist(X, U, P, params: BlasterParams):
+    """Disturbance-augmented BLASTER rows (offset-free MPC prediction
+    model, `sim/scenarios.py::_disturbed_ode`): the observer's force and
+    torque acceleration estimates ride in SIX EXTRA stage-parameter rows
+    (P[25:28] on v_dot, P[28:31] on omega_dot) so they stay *data* — the
+    fused kernel's static prologue serves every disturbance estimate
+    without recompiling."""
+    Xd = _ode_rows(X, U, P, params)
+    return Xd.at[6:9].add(P[25:28]).at[9:12].add(P[28:31])
+
+
+def _quad13_rows(X, U, P, params: BlasterParams):
+    """`models/quad13.py::quad13_ode` with components as rows: X (13, L),
+    U (4, L) -> Xdot (13, L); P unused. Same Hamilton-product q_dot and
+    R(q)e3 thrust column as the vector form (core/rotations.py:94-118),
+    written elementwise."""
+    del P
+    qw, qx, qy, qz = X[3], X[4], X[5], X[6]
+    vx, vy, vz = X[7], X[8], X[9]
+    w1, w2, w3 = X[10], X[11], X[12]
+    t1, t2, t3, t4 = U[0], U[1], U[2], U[3]
+
+    qn = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    iw, ix, iy, iz = qw / qn, qx / qn, qy / qn, qz / qn
+
+    # R(qn) e3 — third column of quat_to_rot
+    r02 = 2.0 * (ix * iz + iw * iy)
+    r12 = 2.0 * (iy * iz - iw * ix)
+    r22 = 2.0 * (iw * iw + iz * iz) - 1.0
+    t_tot = (t1 + t2 + t3 + t4) / params.mass
+    vdx = r02 * t_tot
+    vdy = r12 * t_tot
+    vdz = r22 * t_tot - params.gravity
+
+    # q_dot = 0.5 q (x) [0, omega]  (Hamilton, UNnormalized q — matches
+    # quad13_ode which multiplies with the raw state quaternion)
+    qdw = 0.5 * (-qx * w1 - qy * w2 - qz * w3)
+    qdx = 0.5 * (qw * w1 + qy * w3 - qz * w2)
+    qdy = 0.5 * (qw * w2 - qx * w3 + qz * w1)
+    qdz = 0.5 * (qw * w3 + qx * w2 - qy * w1)
+
+    ly, lx, cy = (params.arm_length_y, params.arm_length_x,
+                  params.yaw_coefficient)
+    m0 = (t2 + t4 - t1 - t3) * ly
+    m1 = (-t1 - t4 + t2 + t3) * lx
+    m2 = (-t1 - t2 + t3 + t4) * cy
+    j1, j2, j3 = params.inertia[0], params.inertia[1], params.inertia[2]
+    wd1 = (m0 - (w2 * (j3 * w3) - w3 * (j2 * w2))) / j1
+    wd2 = (m1 - (w3 * (j1 * w1) - w1 * (j3 * w3))) / j2
+    wd3 = (m2 - (w1 * (j2 * w2) - w2 * (j1 * w1))) / j3
+
+    return jnp.stack([
+        vx, vy, vz,
+        qdw, qdx, qdy, qdz,
+        vdx, vdy, vdz,
+        wd1, wd2, wd3,
+    ], axis=0)
+
+
+# Model-family registry for rows-form ODEs (r4): the fused linearization
+# prologue (`ops/pallas_ipm.py`, `fuse_lin`) and `fast_linearize` below
+# dispatch on the family name carried in `fused_dyn_statics`. All three
+# families share the same 8 physical constants (mass, g, arms, yaw
+# coefficient, diagonal inertia) packed into a BlasterParams.
+FAMILIES = {
+    "blaster": _ode_rows,
+    "blaster_dist": _ode_rows_dist,
+    "quad13": _quad13_rows,
+}
+
+
+def _rk4_rows(X, U, P, params, dt, num_steps, ode=_ode_rows):
     """Classic RK4 (acados ERK(4, num_steps); integrators.py:23-48) on the
     rows layout. num_steps is static and small -> plain Python unroll."""
     h = dt / num_steps
     for _ in range(num_steps):
-        k1 = _ode_rows(X, U, P, params)
-        k2 = _ode_rows(X + (0.5 * h) * k1, U, P, params)
-        k3 = _ode_rows(X + (0.5 * h) * k2, U, P, params)
-        k4 = _ode_rows(X + h * k3, U, P, params)
+        k1 = ode(X, U, P, params)
+        k2 = ode(X + (0.5 * h) * k1, U, P, params)
+        k3 = ode(X + (0.5 * h) * k2, U, P, params)
+        k4 = ode(X + h * k3, U, P, params)
         X = X + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
     return X
 
 
 def fast_linearize(xbar: jnp.ndarray, ubar: jnp.ndarray,
                    stage_params: jnp.ndarray, params: BlasterParams,
-                   dt: float, num_steps: int = 1):
+                   dt: float, num_steps: int = 1,
+                   family: str = "blaster"):
     """(x_next, A, B) for all shooting nodes — drop-in for
     `sqp/rti.py::_linearize_nodes` (same (N+1,nx)/(N,nu)/(N,np) inputs,
     same RK4 discretization, forward-mode sensitivities via one jvp).
+    Dimension-generic over the rows-form `family` (FAMILIES registry).
     """
     dtype = xbar.dtype
     n = ubar.shape[0]
+    nx, nu = xbar.shape[-1], ubar.shape[-1]
+    nc = nx + nu
+    ode = FAMILIES[family]
     xs = xbar[:-1]
 
-    x_re = jnp.repeat(xs.T, _C, axis=1)                 # (nx, n*_C)
-    u_re = jnp.repeat(ubar.T, _C, axis=1)               # (nu, n*_C)
-    p_re = jnp.repeat(stage_params.T, _C, axis=1)       # (np, n*_C)
-    eye = jnp.eye(_C, dtype=dtype)
-    x_du = jnp.tile(eye[:NX], (1, n))                   # seed d/dx_j
-    u_du = jnp.tile(eye[NX:], (1, n))                   # seed d/du_j
+    x_re = jnp.repeat(xs.T, nc, axis=1)                 # (nx, n*nc)
+    u_re = jnp.repeat(ubar.T, nc, axis=1)               # (nu, n*nc)
+    p_re = jnp.repeat(stage_params.T, nc, axis=1)       # (np, n*nc)
+    eye = jnp.eye(nc, dtype=dtype)
+    x_du = jnp.tile(eye[:nx], (1, n))                   # seed d/dx_j
+    u_du = jnp.tile(eye[nx:], (1, n))                   # seed d/du_j
 
     def f(xr, ur):
-        return _rk4_rows(xr, ur, p_re, params, dt, num_steps)
+        return _rk4_rows(xr, ur, p_re, params, dt, num_steps, ode=ode)
 
     y, yd = jax.jvp(f, (x_re, u_re), (x_du, u_du))
-    y = y.reshape(NX, n, _C)
-    yd = yd.reshape(NX, n, _C)
+    y = y.reshape(nx, n, nc)
+    yd = yd.reshape(nx, n, nc)
     x_next = y[:, :, 0].T                               # (n, nx)
-    a_mat = jnp.transpose(yd[:, :, :NX], (1, 0, 2))     # (n, nx, nx)
-    b_mat = jnp.transpose(yd[:, :, NX:], (1, 0, 2))     # (n, nx, nu)
+    a_mat = jnp.transpose(yd[:, :, :nx], (1, 0, 2))     # (n, nx, nx)
+    b_mat = jnp.transpose(yd[:, :, nx:], (1, 0, 2))     # (n, nx, nu)
     return x_next, a_mat, b_mat
 
 
 def make_fused_linearizer(ocp: cfg.OCPConfig, params: BlasterParams,
-                          num_steps: int = 1):
+                          num_steps: int = 1, family: str = "blaster"):
     """Closure matching the `linearizer` hook of `sqp/rti.py::build_qp`."""
     def lin(xbar, ubar, stage_params):
         return fast_linearize(xbar, ubar, stage_params, params, ocp.dt,
-                              num_steps)
+                              num_steps, family=family)
     return lin

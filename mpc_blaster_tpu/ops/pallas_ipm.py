@@ -502,12 +502,19 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     # identical numbers, zero inter-kernel dispatch.
     if fuse_lin:
         from mpc_blaster_tpu.dynamics.blaster import BlasterParams as _BP
-        from mpc_blaster_tpu.dynamics.fastlin import _rk4_rows
+        from mpc_blaster_tpu.dynamics.fastlin import FAMILIES, _rk4_rows
 
-        bp = _BP(mass=model[0], gravity=model[1],
-                 inertia=(model[5], model[6], model[7]),
-                 arm_length_x=model[2], arm_length_y=model[3],
-                 yaw_coefficient=model[4])
+        # model = (family, mass, g, arm_x, arm_y, yaw_c, Jx, Jy, Jz):
+        # the family name selects the rows-form ODE (r4 registry —
+        # "blaster", "blaster_dist" (offset-free, disturbances in extra
+        # stage-param rows) and "quad13" all run through this prologue)
+        fam = model[0]
+        mc = model[1:]
+        ode_rows = FAMILIES[fam]
+        bp = _BP(mass=mc[0], gravity=mc[1],
+                 inertia=(mc[5], mc[6], mc[7]),
+                 arm_length_x=mc[2], arm_length_y=mc[3],
+                 yaw_coefficient=mc[4])
         C_t = nx + nu                    # tangent columns per node
         npg = max(LANES // C_t, 1)       # nodes packed per lane group
         G = (N + npg - 1) // npg
@@ -536,7 +543,8 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
             Pg = sel(sp_ref, N - 1)
 
             def f(x, u):
-                return _rk4_rows(x, u, Pg, bp, dt_dyn, nsteps)
+                return _rk4_rows(x, u, Pg, bp, dt_dyn, nsteps,
+                                 ode=ode_rows)
 
             y, yd = jax.jvp(f, (Xg, Ug), (xseed, useed))
             for m in range(npg):
@@ -1079,7 +1087,8 @@ def pallas_fused_rti_solve(xbar, ubar, stage_params, x0, Q, Q_t, R,
                            model: tuple, dt: float, num_steps: int = 1,
                            iters: int = 6, mu0: float = 1e-1,
                            alpha_frac: float = 0.995, reg: float = 1e-6,
-                           interpret: bool = False, warm=None) -> QPSolution:
+                           interpret: bool = False, warm=None,
+                           soft=None) -> QPSolution:
     """Single-kernel RTI QP solve: the ENTIRE QP construction — RK4
     linearization (forward sensitivities + shooting defects), dt-scaled
     cost gradients, delta-form box bounds and the pinned dx0 — happens
@@ -1104,10 +1113,20 @@ def pallas_fused_rti_solve(xbar, ubar, stage_params, x0, Q, Q_t, R,
     duplicates of one problem — exactly the deployed latency path); fully
     VMEM-resident only (no HBM streaming; the whole point is zero
     off-chip traffic), so N is bounded by the VMEM budget (N<=120
-    validated envelope); BLASTER model only (the ODE is baked into the
-    prologue — quad13 and friends keep `qp_backend="pallas"`). `model`
-    is the STATIC tuple from `sqp/rti.py::fused_dyn_statics`.
+    validated envelope). `model` is the STATIC tuple from
+    `sqp/rti.py::fused_dyn_statics` — its leading family name selects
+    the rows-form ODE from `dynamics/fastlin.py::FAMILIES` ("blaster",
+    "blaster_dist" offset-free, "quad13"); any model with nx+nu <= 128
+    and a rows-form ODE entry runs through the same prologue.
+
+    soft: optional `qp.soft.SoftBounds` (acados ns>0) — composes with the
+    fused prologue (r4): the stage-wise elimination runs in the same
+    kernel off the in-kernel-derived delta bounds; penalties are
+    shift-invariant so the (N, nx|nu) spec applies unchanged.
     """
+    if soft is not None and warm is not None:
+        raise ValueError("soft bounds do not support slack/dual warm "
+                         "starts (violation pairs are not carried)")
     if x0.ndim != 2 or x0.shape[0] != 1:
         raise ValueError("pallas_fused_rti_solve is the B=1 latency path "
                          f"(got batch {x0.shape[0]}); use "
@@ -1121,7 +1140,7 @@ def pallas_fused_rti_solve(xbar, ubar, stage_params, x0, Q, Q_t, R,
                          f"(got {nx_f}+{nu_f}); use qp_backend='pallas'")
     fuse = (xbar, ubar, stage_params, x0, Q, Q_t, R,
             yref_x, yref_u, yref_e, lbx, ubx, lbu, ubu)
-    return _pallas_box_qp_solve(None, warm, None, fuse,
+    return _pallas_box_qp_solve(None, warm, soft, fuse,
                                 iters=iters, mu0=mu0,
                                 alpha_frac=alpha_frac, reg=reg,
                                 interpret=interpret, stream_p=False,
@@ -1271,10 +1290,21 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
             return (prep(jnp.where(smask, Z, _BIGB)),
                     prep(jnp.where(smask, z, 0.0)))
 
-        Zlx_in, zlx_in = pen_in(soft.lx, data.lbx[:, 1:])
-        Zux_in, zux_in = pen_in(soft.ux, data.ubx[:, 1:])
-        Zlu_in, zlu_in = pen_in(soft.lu, data.lbu)
-        Zuu_in, zuu_in = pen_in(soft.uu, data.ubu)
+        if fuse_on:
+            # fused mode carries single-row ABSOLUTE boxes; finiteness of
+            # the absolute bound == finiteness of its delta twin, so the
+            # mask broadcasts over stages
+            bxl = jnp.broadcast_to(fuse[10][:, None, :], (B, N, nx))
+            bxu = jnp.broadcast_to(fuse[11][:, None, :], (B, N, nx))
+            bul = jnp.broadcast_to(fuse[12][:, None, :], (B, N, nu))
+            buu = jnp.broadcast_to(fuse[13][:, None, :], (B, N, nu))
+        else:
+            bxl, bxu = data.lbx[:, 1:], data.ubx[:, 1:]
+            bul, buu = data.lbu, data.ubu
+        Zlx_in, zlx_in = pen_in(soft.lx, bxl)
+        Zux_in, zux_in = pen_in(soft.ux, bxu)
+        Zlu_in, zlu_in = pen_in(soft.lu, bul)
+        Zuu_in, zuu_in = pen_in(soft.uu, buu)
     else:
         dummy = jnp.zeros((T_tiles, 1, LANES), f32)
         Zlx_in = zlx_in = Zux_in = zux_in = dummy

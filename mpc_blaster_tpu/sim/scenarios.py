@@ -68,6 +68,100 @@ def _disturbed_ode(x, u, p, params, d_v, d_w):
     return xdot.at[cfg.IDX_V].add(d_v).at[9:12].add(d_w)
 
 
+def dist_param_ode(x, u, p, params):
+    """`_disturbed_ode` with the 6 disturbance channels carried as EXTRA
+    STAGE-PARAMETER rows p[25:31] (vector-form twin of
+    `dynamics/fastlin.py::_ode_rows_dist`): disturbance estimates stay
+    *data*, so the fused kernel's static "blaster_dist" prologue — and
+    any host-side linearizer — serves every estimate without recompiling."""
+    xdot = blaster_ode(x, u, p, params)
+    return xdot.at[cfg.IDX_V].add(p[25:28]).at[9:12].add(p[28:31])
+
+
+class OffsetFreeResult(NamedTuple):
+    xs: jnp.ndarray        # (n_steps+1, nx)
+    us: jnp.ndarray        # (n_steps, nu)
+    d_hist: jnp.ndarray    # (n_steps, 6) force+torque disturbance estimates
+    kkt_eq: jnp.ndarray    # (n_steps,)
+
+
+def offset_free_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0, wind,
+                     n_steps: int = 120, dtype=jnp.float32,
+                     observer_gain: float = 0.5,
+                     derate=None) -> OffsetFreeResult:
+    """B=1 offset-free deployment loop (Pannocchia/Rawlings constant-
+    disturbance observer) with the disturbance estimates riding the
+    stage-parameter rows p[25:31] ("blaster_dist" model family).
+
+    This is the single-trajectory twin of `disturbance_sweep(offset_free=
+    True)` built for the DEPLOYED latency path: with
+    `ocp.solver.qp_backend == "pallas_fused"` the whole tick — RK4
+    linearization of the disturbance-augmented model included — runs in
+    ONE Pallas kernel (r4; previously the fused backend silently covered
+    only the nominal ODE). Any other backend uses the rows-form host
+    linearizer of the same family, so all backends share one code path.
+
+    wind: (3,) constant plant wind acceleration (controller blind to it);
+    derate: optional (4,) rotor effectiveness for fault recovery.
+    """
+    from mpc_blaster_tpu.sqp.rti import fused_dyn_statics, rti_step
+
+    params = BlasterParams.from_config(ocp.model, dtype)
+    solver = ocp.solver
+    F = discrete_dynamics(dist_param_ode, ocp.dt, num_steps=1)
+    use_fused = solver.qp_backend == "pallas_fused"
+    dyn = (fused_dyn_statics(ocp, 1, family="blaster_dist")
+           if use_fused else None)
+    if not use_fused:
+        from mpc_blaster_tpu.dynamics.fastlin import fast_linearize
+
+        def lin(xbar, ubar, stage_params):
+            return fast_linearize(xbar, ubar, stage_params, params,
+                                  ocp.dt, 1, family="blaster_dist")
+    else:
+        lin = None
+
+    x0 = jnp.asarray(x0, dtype)
+    wind = jnp.asarray(wind, dtype)
+    dr = (jnp.ones(4, dtype) if derate is None
+          else jnp.asarray(derate, dtype))
+    # controller stage params: 25 reference rows + 6 disturbance rows
+    sp0 = jnp.concatenate(
+        [spec.stage_params,
+         jnp.zeros((spec.horizon, 6), dtype)], axis=1)
+    plant_p = spec.stage_params[0].at[-1].set(2.2 * 9.81)
+    F_plant = discrete_dynamics(
+        lambda xx, uu, pp, par: _windy_plant_ode(xx, uu, pp, par, wind),
+        ocp.dt, num_steps=1)  # same plant as disturbance_sweep
+
+    def plant(x, u):
+        u_eff = u.at[0:4].multiply(dr)
+        return F_plant(x, u_eff, plant_p, params)
+
+    st0 = init_rti_state(ocp, x0, dtype)
+    d0 = jnp.zeros(6, dtype)
+
+    def tick(carry, _):
+        st, x, d_est, vw_pred = carry
+        d_est = d_est.at[0:3].add(
+            observer_gain * (x[6:9] - vw_pred[0:3]) / ocp.dt)
+        d_est = d_est.at[3:6].add(
+            observer_gain * (x[9:12] - vw_pred[3:6]) / ocp.dt)
+        sp = sp0.at[:, 25:31].set(d_est[None, :])
+        spec_t = spec._replace(stage_params=sp)
+        u0, st, diag = rti_step(spec_t, st, x, params, F, solver,
+                                linearizer=lin, dyn_statics=dyn)
+        x_next = plant(x, u0)
+        pred = F(x, u0, sp[0], params)
+        return (st, x_next, d_est, pred[6:12]), (x_next, u0, d_est,
+                                                 diag.qp_kkt_eq)
+
+    (_, _, _, _), (xs, us, ds, eqs) = jax.lax.scan(
+        tick, (st0, x0, d0, x0[6:12]), None, length=n_steps)
+    return OffsetFreeResult(xs=jnp.concatenate([x0[None], xs], axis=0),
+                            us=us, d_hist=ds, kkt_eq=eqs)
+
+
 def fault_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
                 derate: jnp.ndarray, n_steps: int = 150,
                 dtype=jnp.float32, offset_free: bool = False,
@@ -96,9 +190,12 @@ def fault_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     solver = ocp.solver
     if solver.qp_backend == "pallas_fused":
-        # scenario loops augment the ODE with disturbance estimates
-        # (offset-free MPC): the fused kernel bakes the NOMINAL ODE,
-        # so fall back to the two-kernel pallas path here.
+        # vmapped sweeps use the BATCHED kernel: the fused tick is the
+        # B=1 latency path by construction (its prologue repurposes the
+        # 128 lanes as (node, tangent-column) slots), so batched solves
+        # belong on qp_backend="pallas" regardless of the model. For the
+        # B=1 offset-free DEPLOYMENT tick at full fusion, use
+        # `offset_free_loop` ("blaster_dist" family, r4).
         import dataclasses as _dc
         solver = _dc.replace(solver, qp_backend="pallas")
     # solver.lin_backend is honored only on the NOMINAL prediction model:
@@ -174,9 +271,12 @@ def disturbance_sweep(spec: OCPSpec, ocp: cfg.OCPConfig,
     F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
     solver = ocp.solver
     if solver.qp_backend == "pallas_fused":
-        # scenario loops augment the ODE with disturbance estimates
-        # (offset-free MPC): the fused kernel bakes the NOMINAL ODE,
-        # so fall back to the two-kernel pallas path here.
+        # vmapped sweeps use the BATCHED kernel: the fused tick is the
+        # B=1 latency path by construction (its prologue repurposes the
+        # 128 lanes as (node, tangent-column) slots), so batched solves
+        # belong on qp_backend="pallas" regardless of the model. For the
+        # B=1 offset-free DEPLOYMENT tick at full fusion, use
+        # `offset_free_loop` ("blaster_dist" family, r4).
         import dataclasses as _dc
         solver = _dc.replace(solver, qp_backend="pallas")
     # same nominal-model-only rule as fault_sweep (see comment there)

@@ -114,24 +114,31 @@ def make_linearizer(ocp: cfg.OCPConfig, params: BlasterParams,
     return None
 
 
-def fused_dyn_statics(ocp: cfg.OCPConfig, num_steps: int = 1) -> tuple:
+def fused_dyn_statics(ocp: cfg.OCPConfig, num_steps: int = 1,
+                      family: str = "blaster") -> tuple:
     """STATIC dynamics constants for `qp_backend="pallas_fused"`: the
     in-kernel linearization prologue (`ops/pallas_ipm.py`, `fuse_lin`)
-    bakes the BLASTER physical constants, the shooting interval and the
-    ERK substep count into the compiled kernel (they are per-vehicle
-    constants — a recompile on airframe change is the right trade).
-    Returns ((mass, g, arm_x, arm_y, yaw_c, Jx, Jy, Jz), dt, num_steps),
+    bakes the model-family name, the physical constants, the shooting
+    interval and the ERK substep count into the compiled kernel (they are
+    per-vehicle constants — a recompile on airframe change is the right
+    trade). `family` selects the rows-form ODE from
+    `dynamics/fastlin.py::FAMILIES` ("blaster", "blaster_dist" for the
+    offset-free prediction model with disturbance rows in the stage
+    params, "quad13"). Returns
+    ((family, mass, g, arm_x, arm_y, yaw_c, Jx, Jy, Jz), dt, num_steps),
     hashable for jit static args."""
     m = ocp.model
-    return ((float(m.mass), float(m.gravity), float(m.arm_length_x),
-             float(m.arm_length_y), float(m.yaw_coefficient),
+    return ((family, float(m.mass), float(m.gravity),
+             float(m.arm_length_x), float(m.arm_length_y),
+             float(m.yaw_coefficient),
              float(m.inertia_diag[0]), float(m.inertia_diag[1]),
              float(m.inertia_diag[2])),
             float(ocp.dt), int(num_steps))
 
 
 def _fused_qp_solve(spec: OCPSpec, state: RTIState, x0, params,
-                    solver: cfg.SolverConfig, dyn_statics, warm=None):
+                    solver: cfg.SolverConfig, dyn_statics, warm=None,
+                    soft=None):
     """Single-kernel RTI QP solve: linearization, cost gradients, delta
     bounds and dx0 are ALL assembled inside the IPM kernel — the host
     passes the iterate + raw spec tensors. The acados analog is the
@@ -156,7 +163,7 @@ def _fused_qp_solve(spec: OCPSpec, state: RTIState, x0, params,
         model=model, dt=dt, num_steps=nsteps,
         iters=solver.ipm_iters, mu0=solver.ipm_mu0,
         alpha_frac=solver.ipm_alpha_frac, reg=max(solver.ipm_reg, 1e-6),
-        interpret=not pallas_available(), warm=wb)
+        interpret=not pallas_available(), warm=wb, soft=soft)
     return jax.tree.map(lambda a: a[0], sol)
 
 
@@ -380,7 +387,7 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
 
 def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
                   params: BlasterParams, F, solver: cfg.SolverConfig,
-                  soft, linearizer=None):
+                  soft, linearizer=None, dyn_statics=None):
     """RTI tick with soft (slacked) state bounds — the acados ns>0 analog
     (`qp/soft.py`). Use when disturbances can push the state outside the
     hard box (the sim preset's position box is ±1.5 m,
@@ -392,13 +399,39 @@ def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     directly. Returns (u0, new_state, diag, violations).
 
     With `solver.qp_backend == "pallas"` the soft QP runs INSIDE the
-    fused IPM mega-kernel (stage-wise elimination, ops/pallas_ipm.py) —
-    the latency path for soft-bounded deployment; violations are
-    recovered from the returned primal. Other backends use the XLA
-    soft solver (`qp/soft.py`).
+    IPM mega-kernel (stage-wise elimination, ops/pallas_ipm.py); with
+    "pallas_fused" (r4) the linearization ALSO fuses in — one kernel for
+    the whole soft tick (pass `dyn_statics=fused_dyn_statics(ocp)`).
+    Violations are recovered from the returned primal. Other backends
+    use the XLA soft solver (`qp/soft.py`).
     """
     from mpc_blaster_tpu.qp.soft import (SoftQPSolution, soft_box_qp_solve,
                                          violations_from_primal)
+
+    if solver.qp_backend == "pallas_fused":
+        sol = _fused_qp_solve(spec, state, x0, params, solver, dyn_statics,
+                              soft=soft)
+        new_state = RTIState(xbar=state.xbar + sol.dx,
+                             ubar=state.ubar + sol.du)
+        # violations from the ABSOLUTE updated iterate (no QPData exists
+        # on this path): t = max(-(sgn)(v - b), 0) in delta units equals
+        # the same expression in absolute units
+        def viol(v, b, sgn, pen):
+            sm = pen.soft & jnp.isfinite(b)
+            return jnp.where(sm, jnp.maximum(-sgn * (v - b), 0.0), 0.0)
+        res = SoftQPSolution(
+            sol=sol,
+            t_lx=viol(new_state.xbar[1:], spec.lbx[None], 1.0, soft.lx),
+            t_ux=viol(new_state.xbar[1:], spec.ubx[None], -1.0, soft.ux),
+            t_lu=viol(new_state.ubar, spec.lbu[None], 1.0, soft.lu),
+            t_uu=viol(new_state.ubar, spec.ubu[None], -1.0, soft.uu))
+        diag = RTIDiagnostics(
+            qp_kkt_stat=sol.kkt_stat, qp_kkt_eq=sol.kkt_eq, qp_mu=sol.mu,
+            step_norm_x=jnp.max(jnp.abs(sol.dx)),
+            step_norm_u=jnp.max(jnp.abs(sol.du)),
+            bound_viol=_bound_violation(spec, new_state),
+        )
+        return new_state.ubar[0], new_state, diag, res
 
     qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
     if solver.qp_backend == "pallas":

@@ -106,6 +106,59 @@ def test_fastlin_vmappable():
         np.testing.assert_allclose(b_b[i], b, rtol=1e-12, atol=1e-12)
 
 
+def test_fastlin_dist_family_matches_jacfwd():
+    """"blaster_dist" rows family (r4): disturbance channels in stage-param
+    rows 25:31 must match jacfwd of the vector-form `dist_param_ode`."""
+    from mpc_blaster_tpu.sim.scenarios import dist_param_ode
+
+    dtype = jnp.float64
+    preset = cfg.simulation_preset()
+    params = BlasterParams.from_config(preset.ocp.model, dtype)
+    dt = preset.ocp.dt
+    F = discrete_dynamics(dist_param_ode, dt, num_steps=1)
+    xbar, ubar, sp = _rand_inputs(6, dtype, seed=5)
+    rng = np.random.default_rng(9)
+    d = jnp.asarray(rng.normal(0, 0.4, (6, 6)), dtype)  # per-stage dists
+    sp = jnp.concatenate([sp, d], axis=1)               # (N, 31)
+
+    xn0, A0, B0 = _linearize_nodes(F, xbar, ubar, sp, params)
+    xn1, A1, B1 = fast_linearize(xbar, ubar, sp, params, dt,
+                                 family="blaster_dist")
+    np.testing.assert_allclose(xn1, xn0, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(A1, A0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(B1, B0, rtol=1e-10, atol=1e-12)
+    # the disturbance genuinely enters: zero-d and d- predictions differ
+    xn_z, _, _ = fast_linearize(xbar, ubar, sp.at[:, 25:31].set(0.0),
+                                params, dt, family="blaster_dist")
+    assert float(jnp.max(jnp.abs(xn1 - xn_z))) > 1e-4
+
+
+def test_fastlin_quad13_family_matches_jacfwd():
+    """"quad13" rows family vs jacfwd of `quad13_ode` (r4 registry)."""
+    from mpc_blaster_tpu.models.quad13 import (Quad13Config, _params,
+                                               quad13_ode)
+
+    dtype = jnp.float64
+    c = Quad13Config(N=6)
+    params = _params(c, dtype)
+    F = discrete_dynamics(quad13_ode, c.dt, num_steps=1)
+    rng = np.random.default_rng(11)
+    xbar = rng.normal(0, 0.3, (7, 13))
+    xbar[:, 2] += 2.0
+    xbar[:, 3] += 1.0  # near-identity quats
+    ubar = rng.normal(0, 1.0, (6, 4)) + 20.0
+    sp = jnp.zeros((6, 1), dtype)
+    xbar = jnp.asarray(xbar, dtype)
+    ubar = jnp.asarray(ubar, dtype)
+
+    xn0, A0, B0 = _linearize_nodes(F, xbar, ubar, sp, params)
+    xn1, A1, B1 = fast_linearize(xbar, ubar, sp, params, c.dt,
+                                 family="quad13")
+    np.testing.assert_allclose(xn1, xn0, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(A1, A0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(B1, B0, rtol=1e-10, atol=1e-12)
+
+
 def test_fastlin_bad_backend_rejected():
     from mpc_blaster_tpu.sqp.rti import make_linearizer
 

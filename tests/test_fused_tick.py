@@ -113,6 +113,118 @@ def test_fused_warm_tick_runs():
     assert float(diag.qp_kkt_eq) < 1e-1
 
 
+def test_fused_soft_tick_matches_pallas_soft():
+    """Soft bounds compose with the fused prologue (r4): one kernel does
+    linearize + soft-eliminated IPM. Parity against the two-kernel soft
+    path (host fastlin + in-kernel soft), same comparison policy as the
+    hard-tick parity test (u0 + violations, not deep-stage iterates)."""
+    from mpc_blaster_tpu.qp.soft import SoftBounds
+    from mpc_blaster_tpu.sqp.rti import make_linearizer, rti_step_soft
+
+    n = 8
+    ocp_f = _small_ocp("pallas_fused", n=n)
+    ocp_p = _small_ocp("pallas", n=n, lin_backend="fused")
+    spec = build_spec(ocp_f, dtype=jnp.float32)
+    x0 = _x0(ocp_f)
+    params = BlasterParams.from_config(ocp_f.model, jnp.float32)
+    F = discrete_dynamics(blaster_ode, ocp_f.dt, num_steps=1)
+    soft = SoftBounds.state_bounds(n, cfg.NX, cfg.NU, Zl=1e3, zl=1e2,
+                                   dtype=jnp.float32)
+    dyn = fused_dyn_statics(ocp_f, 1)
+    lin = make_linearizer(ocp_p, params)
+
+    st0 = init_rti_state(ocp_f, x0)
+    u_f, st_f, diag_f, res_f = rti_step_soft(
+        spec, st0, x0, params, F, ocp_f.solver, soft, dyn_statics=dyn)
+    u_p, st_p, diag_p, res_p = rti_step_soft(
+        spec, st0, x0, params, F, ocp_p.solver, soft, linearizer=lin)
+
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_p),
+                               rtol=0, atol=2e-3)
+    assert bool(jnp.all(jnp.isfinite(st_f.xbar)))
+    np.testing.assert_allclose(np.asarray(res_f.t_lx), np.asarray(res_p.t_lx),
+                               rtol=0, atol=2e-3)
+    assert float(diag_f.qp_kkt_eq) < 1e-2
+    assert abs(float(diag_f.qp_mu) - float(diag_p.qp_mu)) < 2e-2
+
+
+def test_fused_soft_rejects_warm():
+    from mpc_blaster_tpu.ops.pallas_ipm import pallas_fused_rti_solve
+    from mpc_blaster_tpu.qp.soft import SoftBounds
+
+    with pytest.raises(ValueError, match="soft bounds do not support"):
+        pallas_fused_rti_solve(*([None] * 14), model=(0.0,) * 8, dt=0.1,
+                               warm=object(), soft=SoftBounds.state_bounds(
+                                   4, cfg.NX, cfg.NU, Zl=1e3, zl=1e2))
+
+
+def test_fused_quad13_tick_matches_riccati():
+    """The quad13 family runs through the fused prologue (r4 registry):
+    single-kernel tick vs the XLA Riccati tick on the quaternion model."""
+    from mpc_blaster_tpu.models.quad13 import (Quad13Config,
+                                               build_quad13_spec,
+                                               hover_state,
+                                               init_quad13_rti_state,
+                                               make_quad13_rti_step)
+
+    c = Quad13Config(N=8, Tf=8 / 30.0)
+    spec = build_quad13_spec(c, dtype=jnp.float32)
+    x0 = hover_state(1.7)
+    st0 = init_quad13_rti_state(c, x0)
+
+    sv_f = dataclasses.replace(cfg.SolverConfig(), ipm_iters=6,
+                               qp_backend="pallas_fused")
+    sv_r = dataclasses.replace(cfg.SolverConfig(), ipm_iters=10,
+                               qp_backend="riccati")
+    u_f, st_f, diag_f = make_quad13_rti_step(c, jit=False,
+                                             solver=sv_f)(spec, st0, x0)
+    u_r, _, _ = make_quad13_rti_step(c, jit=False,
+                                     solver=sv_r)(spec, st0, x0)
+    assert bool(jnp.all(jnp.isfinite(u_f)))
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_r),
+                               rtol=0, atol=5e-2)
+    assert float(diag_f.qp_kkt_eq) < 1e-2
+
+
+def test_offset_free_loop_fused_matches_xla():
+    """B=1 offset-free deployment loop ("blaster_dist" family): the fused
+    single-kernel tick and the XLA Riccati tick settle to the same point
+    under constant wind the controller cannot see."""
+    from mpc_blaster_tpu.ocp.spec import build_spec
+    from mpc_blaster_tpu.sim.scenarios import offset_free_loop
+
+    n = 8
+    base = cfg.simulation_preset()
+    wind = jnp.asarray([0.7, -0.5, 0.2], jnp.float32)
+    x0 = jnp.zeros(cfg.NX, jnp.float32).at[2].set(3.0)
+    results = {}
+    for name, backend, iters in (("fused", "pallas_fused", 6),
+                                 ("xla", "riccati", 8)):
+        ocp = dataclasses.replace(
+            base.ocp, N=n, Tf=n / 30.0,
+            solver=dataclasses.replace(base.ocp.solver,
+                                       qp_backend=backend,
+                                       ipm_iters=iters))
+        spec = build_spec(ocp, yref=base.loop.yref, dtype=jnp.float32)
+        res = jax.jit(lambda s, x, o=ocp: offset_free_loop(
+            s, o, x, wind, n_steps=100))(spec, x0)
+        assert bool(jnp.all(jnp.isfinite(res.xs))), name
+        results[name] = res
+    # both settle near the (0,0,3.5) target despite the wind (measured:
+    # ~0.07 residual from the sim preset's POC-vs-position yref
+    # compromise; a blind controller drifts ~0.7 m under this wind)
+    for name, res in results.items():
+        err = float(jnp.linalg.norm(res.xs[-1, 0:3]
+                                    - jnp.asarray([0.0, 0.0, 3.5])))
+        assert err < 0.15, (name, err)
+    # and the two backends track each other
+    np.testing.assert_allclose(np.asarray(results["fused"].xs[-1, 0:3]),
+                               np.asarray(results["xla"].xs[-1, 0:3]),
+                               rtol=0, atol=5e-2)
+    # the observer estimates are nonzero (the wind was actually learned)
+    assert float(jnp.linalg.norm(results["fused"].d_hist[-1, 0:3])) > 0.1
+
+
 def test_fused_requires_statics():
     ocp = _small_ocp("pallas_fused")
     spec = build_spec(ocp, dtype=jnp.float32)
