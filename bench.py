@@ -187,11 +187,12 @@ def main():
 
     # ---- deployed latency rows: cold Pallas ticks, fused linearizer ----
     def rt_runner(ocp_n, iters, jr=1, warm=False, warm_mode="full",
-                  warm_shift=False, K=32, backend=None):
+                  warm_shift=False, K=32, backend=None, watchdog=False):
         sv = dataclasses.replace(
             ocp_n.solver, ipm_iters=iters,
             qp_backend=backend or qp_backend,
-            lin_backend="fused", warm_mode=warm_mode, warm_shift=warm_shift)
+            lin_backend="fused", warm_mode=warm_mode, warm_shift=warm_shift,
+            warm_watchdog=watchdog)
         ocp_rt = dataclasses.replace(ocp_n, solver=sv)
         runner = make_closed_loop(ocp_rt, K, dtype=dtype, jac_refresh=jr,
                                   warm_start=warm)
@@ -215,6 +216,12 @@ def main():
         ("warm3shift", ocp, spec, dict(iters=3, warm=True,
                                        warm_mode="primal",
                                        warm_shift=True)),
+        # r4: the watchdog-guarded chain — deployed_solver("fastest")'s
+        # actual config; steady-state cost of the guard is the trip
+        # check only (no trips on a healthy chain)
+        ("warm3shiftwd", ocp, spec, dict(iters=3, warm=True,
+                                         warm_mode="primal",
+                                         warm_shift=True, watchdog=True)),
         ("warm3shift_n30", ocp30, spec30, dict(iters=3, warm=True,
                                                warm_mode="primal",
                                                warm_shift=True)),
@@ -378,6 +385,10 @@ def main():
         ("fig8_warm3shift_err_m", ocp, dict(iters=3, warm=True,
                                             warm_mode="primal",
                                             warm_shift=True)),
+        ("fig8_warm3shiftwd_err_m", ocp, dict(iters=3, warm=True,
+                                              warm_mode="primal",
+                                              warm_shift=True,
+                                              watchdog=True)),
         ("fig8_n30_rt6_settle_err_m", ocp30, dict(iters=6)),
     ]
     if have_pallas:
@@ -420,6 +431,14 @@ def main():
                               warm_mode="centrality", warm_shift=True)
         out["alt_overshoot_warm4shift_m"] = round(
             overshoot(ocp_w4, True), 4)
+        # r4 watchdog gate: the RAW warm chain (HPIPM warm_start=1, the
+        # config that blows up ~200 m on this stress without guarding)
+        # run under the online watchdog — must stay at cold-level
+        # overshoot
+        _, ocp_wd = rt_runner(ocp, iters=4, warm=True, warm_mode="full",
+                              warm_shift=False, watchdog=True)
+        out["alt_overshoot_warmraw_wd_m"] = round(
+            overshoot(ocp_wd, True), 4)
     except Exception as e:
         out["alt_overshoot_error"] = err_s(e)
 

@@ -157,6 +157,17 @@ class SolverConfig:
     # slack/dual state one stage per tick (the classical RTI shift).
     warm_mode: str = "full"
     warm_shift: bool = False
+    # Online warm-chain divergence watchdog (r4,
+    # sqp/rti.py::rti_step_warm_guarded): warm loops recompute a tick
+    # cold on nonfinite output, a KKT-eq jump past max(30 * EMA, 0.5),
+    # or iterate box violation > 0.25 (early-degradation signal), then
+    # HOLD the chain cold for 10 ticks (hysteresis — a chain that
+    # re-degrades every tick needs the carried-iterate cold behavior,
+    # not a per-tick restart; measured). Costs extra solves only around
+    # tripped ticks; makes the "fastest" profile safely defaultable
+    # (the altitude-step failure class is caught online instead of by
+    # offline stress gating alone).
+    warm_watchdog: bool = False
     tol_stat: float = 1e-6
     tol_eq: float = 1e-6
     tol_ineq: float = 1e-6
@@ -362,7 +373,13 @@ def deployed_solver(profile: str = "safe") -> SolverConfig:
                  (0.0324 m two-kernel). Requires a warm loop
                  (closed_loop / make_tracking_loop with
                  warm_start=True) so the slack/dual state threads
-                 between ticks.
+                 between ticks. Since r4 it carries the ONLINE
+                 divergence watchdog (warm_watchdog=True,
+                 `sqp/rti.py::rti_step_warm_guarded`): a tick whose
+                 KKT-eq residual jumps past 30x the chain's running
+                 level is recomputed cold in-place, so the profile is
+                 safe BY CONSTRUCTION, not only by the offline
+                 altitude-step stress gate.
     """
     base = dict(qp_backend="pallas_fused", lin_backend="fused")
     if profile == "safe":
@@ -371,7 +388,7 @@ def deployed_solver(profile: str = "safe") -> SolverConfig:
         return SolverConfig(ipm_iters=4, **base)
     if profile == "fastest":
         return SolverConfig(ipm_iters=3, warm_mode="primal",
-                            warm_shift=True, **base)
+                            warm_shift=True, warm_watchdog=True, **base)
     raise ValueError(f"unknown deployment profile {profile!r} "
                      "(expected 'safe', 'fast' or 'fastest')")
 

@@ -119,9 +119,13 @@ def _ode_rows_dist(X, U, P, params: BlasterParams):
     torque acceleration estimates ride in SIX EXTRA stage-parameter rows
     (P[25:28] on v_dot, P[28:31] on omega_dot) so they stay *data* — the
     fused kernel's static prologue serves every disturbance estimate
-    without recompiling."""
+    without recompiling. Slice-concat instead of `.at[].add`: Mosaic has
+    no scatter-add lowering (r4 hardware finding — interpret mode
+    accepts it, the real TPU compile fails)."""
     Xd = _ode_rows(X, U, P, params)
-    return Xd.at[6:9].add(P[25:28]).at[9:12].add(P[28:31])
+    return jnp.concatenate(
+        [Xd[0:6], Xd[6:9] + P[25:28], Xd[9:12] + P[28:31], Xd[12:]],
+        axis=0)
 
 
 def _quad13_rows(X, U, P, params: BlasterParams):

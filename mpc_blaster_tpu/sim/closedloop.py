@@ -131,6 +131,10 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
     else:
         raise ValueError(f"unknown poc_mode {poc_mode!r}")
 
+    if warm_start and solver.warm_watchdog and jac_refresh > 1:
+        raise ValueError("warm_watchdog does not compose with "
+                         "jac_refresh>1 (the guarded tick has no "
+                         "jac-reuse variant); use jac_refresh=1")
     if warm_start and jac_refresh > 1:
         from mpc_blaster_tpu.qp.ipm import IpmWarmStart
         from mpc_blaster_tpu.sqp.rti import (JacCache,
@@ -156,6 +160,33 @@ def closed_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0: jnp.ndarray,
 
         (_, _, _, _), (xs, us, costs, stat, eq) = jax.lax.scan(
             tick, (rti0, warm0, cache0, x0), jnp.arange(n_steps))
+    elif warm_start and solver.warm_watchdog:
+        # guarded warm chain (r4): per-tick divergence watchdog that
+        # recomputes a tripped tick cold (rti_step_warm_guarded) — the
+        # deployment default behind deployed_solver("fastest")
+        from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+        from mpc_blaster_tpu.sqp.rti import (WatchdogState,
+                                             rti_step_warm_guarded)
+        warm0 = IpmWarmStart.zeros(spec.horizon, x0.shape[0],
+                                   rti0.ubar.shape[-1], dtype)
+        warm0 = jax.tree.map(lambda a: a + 0.0 * x0[0], warm0)
+        wd0 = WatchdogState.init(dtype)
+        wd0 = jax.tree.map(
+            lambda a: a + (0.0 * x0[0]).astype(a.dtype), wd0)
+
+        def tick(carry, _):
+            state, warm, wd, x = carry
+            spec_t = spec._replace(stage_params=stage_params_for(x, state))
+            u0, state_new, warm_new, wd, diag = rti_step_warm_guarded(
+                spec_t, state, warm, wd, x, params, F, solver,
+                linearizer=lin, dyn_statics=dyn)
+            x_next = F_plant(x, u0, plant_params, params)
+            cost = total_cost(spec_t, state_new.xbar, state_new.ubar)
+            out = (x_next, u0, cost, diag.qp_kkt_stat, diag.qp_kkt_eq)
+            return (state_new, warm_new, wd, x_next), out
+
+        (_, _, _, _), (xs, us, costs, stat, eq) = jax.lax.scan(
+            tick, (rti0, warm0, wd0, x0), None, length=n_steps)
     elif warm_start:
         from mpc_blaster_tpu.qp.ipm import IpmWarmStart
         from mpc_blaster_tpu.sqp.rti import rti_step_warm

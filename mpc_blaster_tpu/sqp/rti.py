@@ -467,6 +467,117 @@ def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     return new_state.ubar[0], new_state, diag, res
 
 
+class WatchdogState(NamedTuple):
+    """Running health state of `rti_step_warm_guarded` (r4): an EMA of
+    the accepted ticks' KKT equality residual, a downgrade counter, and
+    the cold-hold hysteresis countdown."""
+
+    ema_eq: jnp.ndarray   # scalar EMA of accepted qp_kkt_eq
+    trips: jnp.ndarray    # int32: number of warm->cold downgrades
+    hold: jnp.ndarray     # int32: remaining ticks of forced-cold solves
+
+    @staticmethod
+    def init(dtype=jnp.float32) -> "WatchdogState":
+        return WatchdogState(ema_eq=jnp.asarray(0.0, dtype),
+                             trips=jnp.asarray(0, jnp.int32),
+                             hold=jnp.asarray(0, jnp.int32))
+
+
+def rti_step_warm_guarded(spec: OCPSpec, state: RTIState, warm,
+                          wd: WatchdogState, x0: jnp.ndarray,
+                          params: BlasterParams, F,
+                          solver: cfg.SolverConfig, linearizer=None,
+                          dyn_statics=None, jump: float = 30.0,
+                          floor: float = 0.5, ema_rate: float = 0.9,
+                          viol_cap: float = 0.25, hold_ticks: int = 10):
+    """`rti_step_warm` with an ONLINE divergence watchdog (r4; makes the
+    measured-best "fastest" warm profile safely defaultable instead of
+    opt-in).
+
+    Failure mode being guarded: a low-iteration warm chain whose carried
+    slacks/duals mislead the solve on an aggressive transient — measured
+    in r3 as a 200 m altitude-step blowup for raw (unshifted) chains,
+    the same reason the reference disables HPIPM warm starts
+    (`qp_solver_warm_start=0`, acados JSON). The time-shift repairs the
+    measured cases; the watchdog catches the residual tail risk online.
+
+    Rule (calibrated against measured healthy altitude-climb chains,
+    riccati f32 warm4: eq <= 0.21 at N=20 / 0.42 at N=10, bound_viol
+    <= 0.081 / 0.30, all finite): trip when u0/diagnostics are
+    nonfinite, OR the QP equality residual jumps above
+    max(jump * EMA(accepted eq), floor=0.5), OR the new iterate's box
+    violation exceeds `viol_cap` (0.25). Calibration data: the deployed
+    shifted-primal chain measures eq <= 0.20 and viol == 0 through the
+    whole climb; the cold chain viol <= 0.20; a DEGRADING raw chain
+    crosses 0.30 within 3 ticks of onset. Early tripping is
+    load-bearing: once a degraded chain drives the PLANT outside the
+    state box (attitude/velocity), the hard QP is infeasible at x0 and
+    no hard-bound controller recovers (measured: cold restarts from
+    such a state still diverge) — recovery there is the soft-bound
+    solver's job, not the watchdog's. A false trip costs one redo
+    solve and a few held-cold ticks, nothing else.
+
+    On a trip the SAME tick is recomputed COLD (warm input invalidated:
+    valid=0 -> per-entry cold blend; identical compiled program, no
+    second variant) with the carried iterate sanitized (nonfinite xbar
+    rows -> x0, ubar box-clipped), and the chain then STAYS COLD for
+    `hold_ticks` further ticks before warm solves resume. The hysteresis
+    is load-bearing: a per-tick redo alone cannot stabilize a chain
+    that re-degrades every tick (measured on the raw N=10 chain:
+    restart-every-tick left 3 m violations and an oscillating loop,
+    while the carried-iterate cold chain — which the hold reproduces —
+    converges cleanly).
+
+    Returns (u0, new_state, warm_out, wd_out, diag) — diag of the
+    ACCEPTED solve.
+    """
+    force_cold = wd.hold > 0
+    warm_in = warm._replace(
+        valid=jnp.where(force_cold, jnp.zeros_like(warm.valid),
+                        warm.valid))
+    u0, st1, warm1, diag1 = rti_step_warm(
+        spec, state, warm_in, x0, params, F, solver,
+        linearizer=linearizer, dyn_statics=dyn_statics)
+    thresh = jnp.maximum(jump * wd.ema_eq, floor)
+    bad = (~jnp.all(jnp.isfinite(u0))
+           | ~jnp.isfinite(diag1.qp_kkt_eq)
+           | (diag1.qp_kkt_eq > thresh)
+           | (diag1.bound_viol > viol_cap))
+
+    def redo(_):
+        warm_cold = warm._replace(valid=jnp.zeros_like(warm.valid))
+        xb = jnp.where(jnp.isfinite(state.xbar), state.xbar,
+                       jnp.where(jnp.isfinite(x0), x0, 0.0)[None, :])
+        ub = jnp.clip(jnp.where(jnp.isfinite(state.ubar),
+                                state.ubar, 0.0),
+                      spec.lbu[None], spec.ubu[None])
+        return rti_step_warm(spec, RTIState(xbar=xb, ubar=ub),
+                             warm_cold, x0, params, F, solver,
+                             linearizer=linearizer,
+                             dyn_statics=dyn_statics)
+
+    def keep(_):
+        return u0, st1, warm1, diag1
+
+    u0g, stg, warmg, diagg = jax.lax.cond(bad, redo, keep, None)
+    eq_acc = diagg.qp_kkt_eq
+    ema_new = jnp.where(
+        bad | (wd.ema_eq <= 0.0), eq_acc,
+        ema_rate * wd.ema_eq + (1.0 - ema_rate) * eq_acc)
+    # escalating hold: a chain that keeps tripping is structurally
+    # unsuited to warm starts on this trajectory — each trip lengthens
+    # the cold period by 2 ticks/trip, asymptotically pinning a repeat
+    # offender cold (measured: fixed 10-tick holds let the raw chain
+    # re-degrade on every resume)
+    hold_on_trip = hold_ticks + 2 * wd.trips
+    hold_new = jnp.where(bad, hold_on_trip.astype(jnp.int32),
+                         jnp.maximum(wd.hold - 1, 0))
+    wd_new = WatchdogState(ema_eq=ema_new,
+                           trips=wd.trips + bad.astype(jnp.int32),
+                           hold=hold_new)
+    return u0g, stg, warmg, wd_new, diagg
+
+
 def shift_state(state: RTIState) -> RTIState:
     """Shift the iterate one stage forward (classic RTI warm start)."""
     return RTIState(

@@ -1,0 +1,165 @@
+"""Online warm-chain divergence watchdog (r4,
+`sqp/rti.py::rti_step_warm_guarded`): the machinery that makes
+`deployed_solver("fastest")` safe by construction. The r3 failure class
+being guarded — raw warm chains blowing up ~200 m on altitude steps —
+reproduces only on the hardware pallas path, so these tests drive the
+watchdog deterministically: poisoned warm states must trip and yield
+exactly the cold-solve answer; healthy chains must never trip."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_blaster_tpu import config as cfg
+from mpc_blaster_tpu.dynamics.blaster import BlasterParams, blaster_ode
+from mpc_blaster_tpu.dynamics.integrators import discrete_dynamics
+from mpc_blaster_tpu.ocp.spec import build_spec
+from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+from mpc_blaster_tpu.sqp.rti import (
+    WatchdogState,
+    init_rti_state,
+    make_linearizer,
+    rti_step_warm,
+    rti_step_warm_guarded,
+)
+
+N = 10
+
+
+def _setup(dtype=jnp.float32, iters=4):
+    preset = cfg.simulation_preset()
+    ocp = dataclasses.replace(preset.ocp, N=N, Tf=N / 30.0)
+    sv = dataclasses.replace(ocp.solver, ipm_iters=iters,
+                             qp_backend="riccati", lin_backend="fused",
+                             warm_mode="full", warm_shift=False)
+    ocp = dataclasses.replace(ocp, solver=sv)
+    spec = build_spec(ocp, yref=preset.loop.yref, dtype=dtype)
+    params = BlasterParams.from_config(ocp.model, dtype)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    lin = make_linearizer(ocp, params)
+    return ocp, spec, params, F, lin, sv
+
+
+def test_watchdog_trips_out_of_envelope():
+    """Deterministic trip: a state outside the flight envelope (z below
+    the [0,5] box) pins the iterate's stage 0 outside the box ->
+    bound_viol > viol_cap -> the tick is downgraded and the result is
+    BITWISE the cold redo (same compiled program with warm valid=0).
+
+    Note on what is NOT tested here: garbage warm *inputs* (NaN slacks,
+    1e6 duals on 1e-6 slacks) are already neutralized per-entry by the
+    solver's blend guards (measured: identical-to-cold solves, eq 1e-8)
+    — correctly no trip. The watchdog covers the class those guards
+    cannot: finite-but-misleading chains, via the eq-jump/viol signals."""
+    ocp, spec, params, F, lin, sv = _setup()
+    x0 = jnp.zeros(cfg.NX, jnp.float32).at[2].set(-1.0)  # below z box
+    st = init_rti_state(ocp, x0)
+    warm = IpmWarmStart.zeros(N, cfg.NX, cfg.NU, jnp.float32)
+    warm = warm._replace(valid=jnp.asarray(1.0))
+    wd0 = WatchdogState.init()
+
+    u_g, st_g, warm_g, wd1, diag_g = rti_step_warm_guarded(
+        spec, st, warm, wd0, x0, params, F, sv, linearizer=lin)
+    assert int(wd1.trips) == 1
+    # reference: the cold redo the watchdog falls back to (warm
+    # invalidated, carried iterate sanitized: finite here, ubar clipped)
+    from mpc_blaster_tpu.sqp.rti import RTIState
+    cold = warm._replace(valid=jnp.zeros_like(warm.valid))
+    st_cold = RTIState(xbar=st.xbar,
+                       ubar=jnp.clip(st.ubar, spec.lbu[None],
+                                     spec.ubu[None]))
+    u_c, st_c, warm_c, diag_c = rti_step_warm(
+        spec, st_cold, cold, x0, params, F, sv, linearizer=lin)
+    np.testing.assert_array_equal(np.asarray(u_g), np.asarray(u_c))
+    np.testing.assert_array_equal(np.asarray(st_g.xbar),
+                                  np.asarray(st_c.xbar))
+    assert bool(jnp.all(jnp.isfinite(u_g)))
+    # EMA reseeds from the accepted (cold) solve on a trip
+    np.testing.assert_allclose(float(wd1.ema_eq),
+                               float(diag_c.qp_kkt_eq), rtol=1e-6)
+
+
+def test_watchdog_quiet_on_deployed_chain():
+    """The DEPLOYED warm profile (3-iteration shifted primal chain — the
+    config behind deployed_solver("fastest")) through the full climb
+    transient must never trip: measured on this chain, eq <= 0.20 and
+    bound_viol == 0 for the entire maneuver, 5x/inf margin under the
+    thresholds."""
+    ocp, spec, params, F, lin, sv = _setup(iters=3)
+    sv = dataclasses.replace(sv, warm_mode="primal", warm_shift=True)
+    x = jnp.zeros(cfg.NX, jnp.float32).at[2].set(0.5)
+    st = init_rti_state(ocp, x)
+    warm = IpmWarmStart.zeros(N, cfg.NX, cfg.NU, jnp.float32)
+    wd = WatchdogState.init()
+    plant_p = spec.stage_params[0].at[-1].set(2.2 * 9.81)
+
+    step = jax.jit(lambda spec, st, warm, wd, x: rti_step_warm_guarded(
+        spec, st, warm, wd, x, params, F, sv, linearizer=lin))
+    for _ in range(80):
+        u0, st, warm, wd, diag = step(spec, st, warm, wd, x)
+        x = F(x, u0, plant_p, params)
+    assert int(wd.trips) == 0
+    assert abs(float(x[2]) - 3.5) < 0.8  # climbing to target, no blowup
+
+
+def test_watchdog_downgrades_degraded_raw_chain():
+    """The RAW unshifted full-warm chain (HPIPM warm_start=1, the config
+    the reference had to disable) degrades mid-climb at N=10: measured
+    iterates reach 0.67 m outside the state box with eq 0.87. The
+    watchdog must catch it (>= 1 trip), keep every accepted tick inside
+    the envelope cap, and land the vehicle at the target anyway."""
+    ocp, spec, params, F, lin, sv = _setup(iters=4)  # raw full, no shift
+    x = jnp.zeros(cfg.NX, jnp.float32).at[2].set(0.5)
+    st = init_rti_state(ocp, x)
+    warm = IpmWarmStart.zeros(N, cfg.NX, cfg.NU, jnp.float32)
+    wd = WatchdogState.init()
+    plant_p = spec.stage_params[0].at[-1].set(2.2 * 9.81)
+
+    step = jax.jit(lambda spec, st, warm, wd, x: rti_step_warm_guarded(
+        spec, st, warm, wd, x, params, F, sv, linearizer=lin))
+    for _ in range(150):
+        u0, st, warm, wd, diag = step(spec, st, warm, wd, x)
+        x = F(x, u0, plant_p, params)
+    assert int(wd.trips) >= 1           # the degradation was caught
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert abs(float(x[2]) - 3.5) < 0.5  # and the loop still lands
+
+
+def test_watchdog_closed_loop_wiring():
+    """closed_loop(warm_start=True) with solver.warm_watchdog=True runs
+    the guarded chain end to end and matches the unguarded chain when
+    nothing trips."""
+    from mpc_blaster_tpu.sim.closedloop import closed_loop
+
+    preset = cfg.simulation_preset()
+    ocp = dataclasses.replace(preset.ocp, N=N, Tf=N / 30.0)
+    svw = dataclasses.replace(ocp.solver, ipm_iters=4,
+                              qp_backend="riccati", lin_backend="fused",
+                              warm_mode="primal", warm_shift=True,
+                              warm_watchdog=True)
+    sv0 = dataclasses.replace(svw, warm_watchdog=False)
+    spec = build_spec(ocp, yref=preset.loop.yref, dtype=jnp.float32)
+    x0 = jnp.zeros(cfg.NX, jnp.float32).at[2].set(2.0)
+
+    res_w = closed_loop(spec, dataclasses.replace(ocp, solver=svw), x0,
+                        30, warm_start=True)
+    res_0 = closed_loop(spec, dataclasses.replace(ocp, solver=sv0), x0,
+                        30, warm_start=True)
+    assert bool(jnp.all(jnp.isfinite(res_w.xs)))
+    np.testing.assert_allclose(np.asarray(res_w.xs), np.asarray(res_0.xs),
+                               rtol=0, atol=1e-5)
+
+
+def test_watchdog_rejects_jacreuse_composition():
+    from mpc_blaster_tpu.sim.closedloop import closed_loop
+
+    preset = cfg.simulation_preset()
+    ocp = dataclasses.replace(preset.ocp, N=N, Tf=N / 30.0)
+    sv = dataclasses.replace(ocp.solver, warm_watchdog=True)
+    spec = build_spec(ocp, yref=preset.loop.yref, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="warm_watchdog"):
+        closed_loop(spec, dataclasses.replace(ocp, solver=sv),
+                    jnp.zeros(cfg.NX, jnp.float32), 5, warm_start=True,
+                    jac_refresh=2)
