@@ -265,8 +265,44 @@ def blast_scan_refs(n_points: int, dt: float,
     return refs
 
 
+def select_poc_mode(amp_x: float = 0.7, amp_y: float = 0.3,
+                    period_s: float = 40.0, hover=(0.0, 0.0, 3.5),
+                    z_end: Optional[float] = None,
+                    t_ramp_s: float = 6.0, **_ignored) -> str:
+    """POC-linearization mode decision rule (r4; the bench-backed answer
+    to "three POC modes and no guidance").
+
+    The discriminant is the LINEARIZATION STALENESS RATE: how fast the
+    commanded maneuver moves the jet geometry away from any fixed
+    linearization point, approximated from the scan parameters as
+
+        rate = w*(amp_x + 2*amp_y) + |z0 - z_end| / t_ramp   [m/s]
+
+    (lemniscate sweep speed of the POC reference + descent rate; the
+    jet Jacobians scale ~z and ~gimbal deflection, both driven by these
+    two terms).
+
+    Measured calibration (bench.py blast rows, v5e, true-POC error):
+      - gentle default scan (rate ~= 0.54 m/s): frozen/anchored 0.0050 m
+        BEATS stagewise 0.0081 m — per-stage re-linearization only adds
+        jet-solve noise when the pose barely leaves the anchor.
+      - aggressive scan (rate ~= 1.10 m/s): stagewise 0.1386 m beats
+        online 0.1601 m beats frozen 0.2881 m — staleness dominates.
+    The threshold 0.8 m/s splits the two measured regimes with ~45%
+    margin to each. "online" (anchored-at-current-pose, one jet solve
+    per tick) is never the winner in either regime, so the selector
+    returns only "frozen" or "online_stagewise"; pick "online" manually
+    for a cheaper middle ground on aggressive scans where the N
+    per-stage jet solves of stagewise are too expensive.
+    """
+    w = 2.0 * np.pi / period_s
+    descent = 0.0 if z_end is None else abs(hover[2] - z_end) / t_ramp_s
+    rate = w * (amp_x + 2.0 * amp_y) + descent
+    return "online_stagewise" if rate > 0.8 else "frozen"
+
+
 def run_blast_scan(preset: Optional[cfg.Preset] = None, n_steps: int = 240,
-                   dtype=jnp.float32, poc_mode: str = "frozen",
+                   dtype=jnp.float32, poc_mode: str = "auto",
                    plant_poc: str = "exact", frozen_at: str = "hover",
                    **scan_kwargs) -> TrackingResult:
     """Blast-scan showcase: the drone hovers while the water jet traces a
@@ -284,10 +320,17 @@ def run_blast_scan(preset: Optional[cfg.Preset] = None, n_steps: int = 240,
     frozen_at: where the frozen linearization is taken. "hover" = the
     task's own start pose (charitable); "canonical" = the reference's
     exact behavior (`Jacobian_POC_Solver.initialise`: zero angles, z=4).
+
+    poc_mode="auto" (default since r4) applies `select_poc_mode`'s
+    staleness-rate rule to the scan parameters — frozen on gentle scans,
+    per-stage online on aggressive ones (each measured best in its
+    regime; see the selector docstring for the numbers).
     """
     from mpc_blaster_tpu.dynamics.blaster import pack_stage_params
     from mpc_blaster_tpu.poc.solver import PocSolver, solve_poc
 
+    if poc_mode == "auto":
+        poc_mode = select_poc_mode(**scan_kwargs)
     preset = preset or cfg.simulation_preset()
     ocp = preset.ocp
     hover = scan_kwargs.get("hover", (0.0, 0.0, 3.5))

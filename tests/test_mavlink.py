@@ -183,3 +183,103 @@ def test_udp_loopback_px4_wire(wire):
     finally:
         adapter.close()
         endpoint.stop()
+
+
+def _fuzz_catalog(rng):
+    return {
+        m.HEARTBEAT: {"type": 2, "autopilot": 12, "base_mode": 81,
+                      "custom_mode": 7, "system_status": 4,
+                      "mavlink_version": 3},
+        m.LOCAL_POSITION_NED: {"time_boot_ms": 99, "x": 1.5, "y": -2.25,
+                               "z": -3.0, "vx": 0.125, "vy": 0.0,
+                               "vz": -1.0},
+        m.ATTITUDE_QUATERNION: {"time_boot_ms": 7, "q1": 0.5, "q2": 0.5,
+                                "q3": -0.5, "q4": 0.5, "rollspeed": 0.25,
+                                "pitchspeed": 0.0, "yawspeed": -0.125},
+        m.SET_ATTITUDE_TARGET: _sat_values(
+            q=tuple(rng.normal(size=4)), thrust=0.31, mask=7),
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_parser_fuzz_random_mutations(seed):
+    """Hostile-bytes fuzz (r4; the reference delegates link robustness to
+    MAVROS, `mavros_blaster_sim.py:33`): streams of valid v1+v2 frames
+    with random byte mutations, truncations, injected noise bursts and
+    random chunking must NEVER raise, never emit a CRC-invalid frame as
+    valid, and always resync — a pristine sentinel frame appended at the
+    end must still parse."""
+    rng = np.random.default_rng(seed)
+    catalog = _fuzz_catalog(rng)
+    msgs = list(catalog.items())
+    chunks = []
+    for i in range(60):
+        msg, vals = msgs[int(rng.integers(len(msgs)))]
+        frame = bytearray(m.encode_frame(msg, vals, seq=i,
+                                         mavlink2=bool(rng.integers(2))))
+        r = rng.random()
+        if r < 0.3:     # corrupt 1-3 random bytes
+            for _ in range(int(rng.integers(1, 4))):
+                frame[int(rng.integers(len(frame)))] ^= int(
+                    rng.integers(1, 256))
+        elif r < 0.5:   # truncate mid-frame
+            frame = frame[:int(rng.integers(1, len(frame)))]
+        elif r < 0.6:   # noise burst (may contain magic bytes)
+            frame = bytearray(rng.integers(0, 256, size=int(
+                rng.integers(1, 40))).astype(np.uint8).tobytes())
+        chunks.append(bytes(frame))
+    sentinel = m.encode_frame(m.HEARTBEAT, catalog[m.HEARTBEAT], seq=255,
+                              mavlink2=False)
+    # 300 zero bytes flush any pending truncated frame (max frame is 280
+    # bytes; a stream parser can only resync an incomplete frame once
+    # enough bytes arrive — zeros contain no magic, so after the flush
+    # only the sentinel's magic remains)
+    stream = b"".join(chunks) + b"\x00" * 300 + sentinel
+
+    parser = m.MavlinkParser()
+    frames = []
+    i = 0
+    while i < len(stream):  # random chunk sizes: 1..17 bytes
+        n = int(rng.integers(1, 18))
+        frames += parser.feed(stream[i:i + n])  # must not raise
+        i += n
+    # decoding every surviving frame must not raise either
+    for fr in frames:
+        vals = fr.values()
+        assert set(vals) == {f.name for f in m.MESSAGES[fr.msg_id].fields}
+    # the sentinel survived the hostile stream
+    assert frames and frames[-1].msg_id == m.HEARTBEAT.msg_id
+    assert frames[-1].seq == 255
+
+
+def test_parser_pure_noise_never_raises():
+    rng = np.random.default_rng(42)
+    noise = rng.integers(0, 256, size=20000).astype(np.uint8).tobytes()
+    parser = m.MavlinkParser()
+    frames = parser.feed(noise)
+    # random 20 kB contains no valid CRC'd frame with overwhelming
+    # probability; everything must be consumed without raising
+    for fr in frames:
+        fr.values()
+    good = m.encode_frame(m.HEARTBEAT, {
+        "type": 2, "autopilot": 12, "base_mode": 0, "custom_mode": 1,
+        "system_status": 4, "mavlink_version": 3}, seq=9)
+    # flush any pending partial frame the noise left behind, then the
+    # clean frame must parse
+    assert any(f.msg_id == 0 and f.seq == 9
+               for f in parser.feed(b"\x00" * 300 + good))
+
+
+def test_parser_unknown_msgid_skipped():
+    """A CRC-valid-looking frame with an unknown message id is skipped
+    (CRC_EXTRA unknown -> cannot validate), counted, and the stream
+    continues."""
+    good = m.encode_frame(m.HEARTBEAT, {
+        "type": 2, "autopilot": 12, "base_mode": 0, "custom_mode": 1,
+        "system_status": 4, "mavlink_version": 3}, seq=3, mavlink2=False)
+    unknown = bytearray(good)
+    unknown[5] = 77  # v1 msg_id byte -> not in MESSAGES
+    parser = m.MavlinkParser()
+    frames = parser.feed(bytes(unknown) + good)
+    assert [f.msg_id for f in frames] == [0]
+    assert parser.skipped_unknown == 1

@@ -127,3 +127,22 @@ def test_blast_scan_true_poc_showcase():
     assert anchored_true[s:].mean() < 0.02
     # headline: >=4x physical washing-accuracy improvement
     assert true_err(ref_cfg)[s:].mean() > 4.0 * anchored_true[s:].mean()
+
+
+def test_poc_mode_selector_picks_measured_winners():
+    """The r4 decision rule must pick the measured-best mode on BOTH
+    bench scan profiles (bench.py blast rows: gentle -> frozen 0.0050
+    beats stagewise 0.0081; aggressive -> stagewise 0.1386 beats frozen
+    0.2881)."""
+    from mpc_blaster_tpu.sim.tasks import select_poc_mode
+
+    # gentle default scan (bench kwb config)
+    assert select_poc_mode(z_end=1.5, t_ramp_s=6.0) == "frozen"
+    # aggressive scan (bench kwa config)
+    assert select_poc_mode(z_end=1.2, t_ramp_s=4.0, amp_x=1.1,
+                           amp_y=0.45, period_s=24.0) == "online_stagewise"
+    # pure hover wash with no descent: frozen
+    assert select_poc_mode() == "frozen"
+    # extra kwargs from run_blast_scan's scan_kwargs are tolerated
+    assert select_poc_mode(center=(-0.6, 0.0), hover=(0.0, 0.0, 3.5),
+                           z_end=1.5, t_ramp_s=6.0) == "frozen"
