@@ -366,6 +366,44 @@ def main():
             except Exception as e:
                 out[f"kernel6_n{N_k}_error"] = err_s(e)
 
+        # ---- batched-throughput roofline (r4, BASELINE config 4):
+        # B=1024 distinct problems, kernel-only, vs the full-occupancy
+        # issue/HBM ceiling (ops/roofline.py::batched_speed_of_light) ----
+        try:
+            from mpc_blaster_tpu.ops.roofline import batched_speed_of_light
+            params_b = BlasterParams.from_config(ocp.model, dtype)
+            F_b = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+            x0s_b = draws(1024)
+            sts_b = jax.vmap(lambda x: init_rti_state(ocp, x, dtype))(x0s_b)
+            qp_b = jax.vmap(
+                lambda st, x: build_qp(spec, st, x, F_b, params_b))(
+                    sts_b, x0s_b)
+
+            @jax.jit
+            def bchain(q):
+                def body(q, _):
+                    sol = pallas_box_qp_solve(q, iters=6)
+                    q = q._replace(c=q.c + 1e-12 * sol.dx[:, 1:, :])
+                    return q, sol.kkt_eq[0]
+                q, eqs = jax.lax.scan(body, q, None, length=8)
+                return eqs
+            log("bench: batched kernel-only chain B=1024 N=20")
+            bt = with_retry(lambda: device_time(
+                lambda: bchain(qp_b), reps=3)) / 8
+            rate_k = 1024.0 / bt
+            rb = batched_speed_of_light(20, cfg.NX, cfg.NU, 6, rate_k)
+            out["batched_kernel_solves_per_s"] = round(rate_k, 1)
+            out["batched_model_frac"] = round(rb["model_frac"], 3)
+            out["batched_bound_by"] = rb["bound_by"]
+            # the full-tick rate against the same kernel ceiling: the gap
+            # between this and batched_model_frac is linearization + QP
+            # assembly overhead
+            out["batched_tick_model_frac"] = round(
+                out.get("pallas_solves_per_s", 0.0)
+                / rb["ceiling_solves_per_s"], 3)
+        except Exception as e:
+            out["batched_roofline_error"] = err_s(e)
+
     # ---- control quality: figure-8 tracking of the deployed configs ----
     def fig8(ocp_n, n_steps=220, warm=False):
         preset_f = dataclasses.replace(preset, ocp=ocp_n)

@@ -70,12 +70,17 @@ class KernelCost:
 
     vreg_ops: float       # VPU issue slots
     hbm_bytes: float      # streamed bytes (0 for resident configs)
+    io_bytes: float       # once-per-solve input read + output write
     flops_per_lane: float  # useful FLOPs for ONE problem (lane)
 
     def latency_floor_s(self) -> float:
-        """Sequential speed-of-light: max of issue time and HBM time."""
+        """Sequential speed-of-light: max of issue time and HBM time.
+
+        io_bytes matters for the BATCHED path (every tile carries 128
+        distinct problems whose data must cross HBM exactly once); for
+        B=1 deployed ticks it is noise against the issue floor."""
         return max(self.vreg_ops / V5E_VREG_OPS_S,
-                   self.hbm_bytes / V5E_HBM_BYTES_S)
+                   (self.hbm_bytes + self.io_bytes) / V5E_HBM_BYTES_S)
 
 
 def ipm_kernel_cost(N: int, nx: int, nu: int, iters: int,
@@ -151,9 +156,25 @@ def ipm_kernel_cost(N: int, nx: int, nu: int, iters: int,
         hbm += iters * (1 + 4) * N * row_z          # Z: 1 write, 4 reads
     if stream_p:
         hbm += iters * (1 + 2) * N * row_p          # P: 1 write, 2 reads
-    flops_per_lane = vreg_ops * SUBLANES * 2  # each vreg FMA: 8 rows x 2
+    # once-per-solve I/O: every input tensor read + every output written
+    # exactly once per tile (ops/pallas_ipm.py in/out shapes, resident)
+    lane_b = LANES * 4
+    io_in = (N * nx * (nx + nu) + N * nx          # AB, c
+             + 2 * nx * nx + nu * nu              # Qs, Qt, R
+             + (N + 1) * nx + N * nu              # q, r
+             + 2 * N * nx + 2 * N * nu + nx)      # bounds, dx0
+    io_out = ((N + 1) * nx + N * nu + 3           # dx, du, diag
+              + 4 * N * nx + 4 * N * nu)          # slack/dual outputs
+    io = float((io_in + io_out) * lane_b)
+
+    # one (8,128) vreg FMA contributes 8 sublane rows x 2 flops to EVERY
+    # lane — per-lane flops carry no /LANES factor (r4 fix: the old
+    # "/LANES" under-reported useful_flops_per_solve 128x; fractions
+    # were never affected)
+    flops_per_lane = vreg_ops * SUBLANES * 2
     return KernelCost(vreg_ops=float(vreg_ops), hbm_bytes=float(hbm),
-                      flops_per_lane=float(flops_per_lane) / LANES * 1.0)
+                      io_bytes=io,
+                      flops_per_lane=float(flops_per_lane))
 
 
 def speed_of_light(N: int, nx: int, nu: int, iters: int,
@@ -168,16 +189,44 @@ def speed_of_light(N: int, nx: int, nu: int, iters: int,
     """
     cost = ipm_kernel_cost(N, nx, nu, iters, stream_p, stream_big)
     t_issue = cost.vreg_ops / V5E_VREG_OPS_S
-    t_hbm = cost.hbm_bytes / V5E_HBM_BYTES_S
+    t_hbm = (cost.hbm_bytes + cost.io_bytes) / V5E_HBM_BYTES_S
     floor = max(t_issue, t_hbm)
     return {
         "floor_ms": floor * 1e3,
         "model_frac": floor / measured_s,
         "bound_by": "hbm" if t_hbm > t_issue else "vpu_issue",
         "vpu_issue_frac": t_issue / measured_s,
-        "hbm_frac": t_hbm / measured_s if cost.hbm_bytes else 0.0,
+        "hbm_frac": t_hbm / measured_s,
         "vreg_ops": cost.vreg_ops,
-        "hbm_gb": cost.hbm_bytes / 1e9,
+        "hbm_gb": (cost.hbm_bytes + cost.io_bytes) / 1e9,
         "useful_flops_per_solve": cost.flops_per_lane,
         "lane_occupancy": batch_lanes / LANES,
+    }
+
+
+def batched_speed_of_light(N: int, nx: int, nu: int, iters: int,
+                           solves_per_s: float) -> dict:
+    """Roofline for the BATCHED THROUGHPUT path (BASELINE config 4): all
+    128 lanes carry distinct problems, tiles run sequentially via the
+    outer lax.map, so light-speed throughput is
+
+        LANES / tile_floor  solves/s/chip,
+
+    with tile_floor = max(issue time, (streamed + once-per-solve I/O)
+    bytes / HBM BW). Reports which resource binds at full lane
+    occupancy and the achieved fraction of the model ceiling.
+    """
+    cost = ipm_kernel_cost(N, nx, nu, iters, False, False)
+    t_issue = cost.vreg_ops / V5E_VREG_OPS_S
+    t_hbm = (cost.hbm_bytes + cost.io_bytes) / V5E_HBM_BYTES_S
+    tile_floor = max(t_issue, t_hbm)
+    ceiling = LANES / tile_floor
+    return {
+        "ceiling_solves_per_s": ceiling,
+        "model_frac": solves_per_s / ceiling,
+        "bound_by": "hbm" if t_hbm > t_issue else "vpu_issue",
+        "tile_floor_ms": tile_floor * 1e3,
+        "io_bytes_per_tile": cost.io_bytes,
+        "flops_per_solve": cost.flops_per_lane,
+        "useful_flops_s": cost.flops_per_lane * solves_per_s,
     }

@@ -85,3 +85,28 @@ def test_device_time_measures_positive():
     assert t > 0.0
     assert measure_rtt() >= 0.0
     assert measure_rtt() == measure_rtt()  # cached
+
+
+def test_roofline_batched_model():
+    """Batched-throughput roofline (r4): the full-occupancy ceiling is
+    LANES/tile_floor; at N=20/17/6 the VPU issue floor dominates the
+    once-per-solve HBM I/O (6.4 MB/tile = 7.8 us vs ~160 us issue), so
+    the binding resource at full lane occupancy is vpu_issue."""
+    from mpc_blaster_tpu.ops.roofline import (batched_speed_of_light,
+                                              ipm_kernel_cost,
+                                              speed_of_light)
+
+    r = batched_speed_of_light(20, 17, 6, 6, 41_000.0)
+    assert r["bound_by"] == "vpu_issue"
+    assert r["ceiling_solves_per_s"] > 100_000
+    assert 0.0 < r["model_frac"] < 1.0
+    cost = ipm_kernel_cost(20, 17, 6, 6, False, False)
+    # io model: a tile's once-per-solve bytes are MBs, not GBs
+    assert 1e6 < cost.io_bytes < 2e7
+    # per-lane flops: ~6 iters x 20 stages x O(nx^3) algebra
+    assert 1e6 < cost.flops_per_lane < 1e8
+    # consistency: B=1 speed_of_light still reports a sub-1.0 fraction
+    # for the measured r3 kernel time (0.416 ms)
+    b1 = speed_of_light(20, 17, 6, 6, 0.416e-3)
+    assert b1["bound_by"] == "vpu_issue"
+    assert 0.2 < b1["model_frac"] < 1.0
