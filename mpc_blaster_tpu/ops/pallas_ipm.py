@@ -119,37 +119,22 @@ def pallas_available() -> bool:
 
 # ---------------- in-kernel small algebra (batch-on-lanes) ----------------
 
-def _tree_sum(terms):
-    """Pairwise (log-depth) summation of a list of same-shape arrays.
-
-    r4 ALU-packing lever: the kernel's dominant work is p-term
-    accumulations (rank-1 outer sums, dot products); a left-fold
-    `acc = acc + t_j` is a serial dependency chain of depth p that a
-    4-ALU VPU cannot overlap, while the pairwise tree exposes p/2, p/4,
-    ... independent adds per level (depth ceil(log2 p)) — the
-    multiplications are independent either way. fp summation order
-    changes, so results move at f32-roundoff level (every cross-backend
-    test is tolerance-based for exactly this class of reorder)."""
-    n = len(terms)
-    while n > 1:
-        half = n // 2
-        terms = ([terms[2 * j] + terms[2 * j + 1] for j in range(half)]
-                 + ([terms[-1]] if n % 2 else []))
-        n = len(terms)
-    return terms[0]
-
-
 def _contractT(X, Y):
-    """(p, m, B), (p, n, B) -> X^T Y (m, n, B): tree-sum of rank-1 outers."""
+    """(p, m, B), (p, n, B) -> X^T Y (m, n, B): sum of rank-1 outers."""
     p = X.shape[0]
-    return _tree_sum([X[j][:, None, :] * Y[j][None, :, :]
-                      for j in range(p)])
+    acc = X[0][:, None, :] * Y[0][None, :, :]
+    for j in range(1, p):
+        acc = acc + X[j][:, None, :] * Y[j][None, :, :]
+    return acc
 
 
 def _contractT_vec(X, y):
     """(p, m, B), (p, B) -> X^T y (m, B)."""
     p = X.shape[0]
-    return _tree_sum([X[j] * y[j][None, :] for j in range(p)])
+    acc = X[0] * y[0][None, :]
+    for j in range(1, p):
+        acc = acc + X[j] * y[j][None, :]
+    return acc
 
 
 def _matvec(M, y):
@@ -176,37 +161,38 @@ def _chol_inverse_lanes(M):
     dscale = [jnp.sqrt(jnp.maximum(M[i][i], 1e-30)) for i in range(n)]
     ent = [[M[i][j] / (dscale[i] * dscale[j]) for j in range(n)]
            for i in range(n)]                              # (B,) each
-    # inner dot products tree-summed (r4: same ALU-packing lever as
-    # _contractT — pairwise sums expose independent adds to the 4 ALUs
-    # instead of a serial accumulate chain; f32-roundoff-level reorder)
     L = [[None] * n for _ in range(n)]
     min_piv = None
     for j in range(n):
-        s = (ent[j][j] if j == 0 else
-             ent[j][j] - _tree_sum([L[j][p] * L[j][p] for p in range(j)]))
+        s = ent[j][j]
+        for p in range(j):
+            s = s - L[j][p] * L[j][p]
         min_piv = s if min_piv is None else jnp.minimum(min_piv, s)
         d = jnp.sqrt(jnp.maximum(s, 1e-12))
         L[j][j] = d
         inv_d = 1.0 / d
         for i in range(j + 1, n):
-            s = (ent[i][j] if j == 0 else
-                 ent[i][j] - _tree_sum([L[i][p] * L[j][p]
-                                        for p in range(j)]))
+            s = ent[i][j]
+            for p in range(j):
+                s = s - L[i][p] * L[j][p]
             L[i][j] = s * inv_d
     Li = [[None] * n for _ in range(n)]
     for j in range(n):
         Li[j][j] = 1.0 / L[j][j]
         for i in range(j + 1, n):
-            s = _tree_sum([L[i][j] * Li[j][j]]
-                          + [L[i][k] * Li[k][j] for k in range(j + 1, i)])
+            s = L[i][j] * Li[j][j]
+            for k in range(j + 1, i):
+                s = s + L[i][k] * Li[k][j]
             Li[i][j] = -s / L[i][i]
     ok = diag_ok & (min_piv > 1e-10)               # (B,)
     out_rows = []
     for i in range(n):
         cols = []
         for j in range(n):
-            s = _tree_sum([Li[k][i] * Li[k][j]
-                           for k in range(max(i, j), n)])
+            s = None
+            for k in range(max(i, j), n):
+                t = Li[k][i] * Li[k][j]
+                s = t if s is None else s + t
             cols.append(jnp.where(ok, s / (dscale[i] * dscale[j]), 0.0))
         out_rows.append(jnp.stack(cols, axis=0))   # (n, B)
     return jnp.stack(out_rows, axis=0)             # (n, n, B)
