@@ -619,9 +619,9 @@ def main():
         [k for k in compact if k.endswith("_error")]
         + [k for k in compact if k.endswith("_bound_by")]
         + ["single_solve_p50_ms", "rt6_solve_p50_ms", "warm6_solve_p50_ms",
-           "blast_aggr_err_frozen_m", "blast_aggr_err_online_m",
+           "rt4jr4_solve_hz", "warm3shift_n30_solve_hz", "device",
            "fig8_n30_cold12_settle_err_m", "fig8_n30_rt6_settle_err_m",
-           "rt4jr4_solve_hz", "warm3shift_n30_solve_hz", "device"]
+           "blast_aggr_err_frozen_m", "blast_aggr_err_online_m"]
         + [k for k in compact if k.startswith("kernel6_")]
     )
     line = dumps(compact)

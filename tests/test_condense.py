@@ -79,6 +79,7 @@ def test_condensed_cost_exact():
     assert d1 == pytest.approx(d2, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_condensed_equality_only_matches_riccati():
     data = random_qp(N=12, nx=5, nu=3, seed=13)  # bounds = inf
     ref = lqr_solve(data)

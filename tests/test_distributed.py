@@ -60,6 +60,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_sharded_rti():
     """Real multi-process jax.distributed execution (VERDICT r1 item 4):
     2 processes x 4 CPU devices, global mesh over 8, host-sharded scenario

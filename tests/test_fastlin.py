@@ -62,6 +62,7 @@ def test_fastlin_matches_jacfwd_f32():
     np.testing.assert_allclose(B1, B0, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fastlin_closed_loop_parity():
     """Full closed loop under lin_backend='fused' tracks the default to
     f64 machine-level — validates the make_linearizer wiring end to end."""

@@ -40,7 +40,9 @@ def _x0(ocp):
     return jnp.asarray(x0)
 
 
-@pytest.mark.parametrize("n", [8, 11])  # 11: partial last lane group
+@pytest.mark.parametrize(
+    "n", [8, pytest.param(11, marks=pytest.mark.slow)])
+# 11: partial last lane group (slow-marked; n=8 is the fast sibling)
 def test_fused_tick_matches_pallas_interpret(n):
     """u0/state parity: in-kernel linearization vs host fastlin + pallas."""
     ocp_f = _small_ocp("pallas_fused", n=n)
@@ -81,6 +83,7 @@ def test_fused_tick_matches_pallas_interpret(n):
     assert abs(float(diag_f.qp_mu) - float(diag_p.qp_mu)) < 6e-2
 
 
+@pytest.mark.slow
 def test_fused_tick_matches_xla_riccati():
     """Cross-backend: the fused single-kernel tick against the f32 XLA
     Riccati IPM tick (fully independent code path)."""
@@ -96,6 +99,7 @@ def test_fused_tick_matches_xla_riccati():
                                rtol=0, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_fused_warm_tick_runs():
     """Warm-start I/O composes with the fused prologue (shifted chain)."""
     from mpc_blaster_tpu.qp.ipm import IpmWarmStart
@@ -117,6 +121,7 @@ def test_fused_warm_tick_runs():
     assert float(diag.qp_kkt_eq) < 1e-1
 
 
+@pytest.mark.slow
 def test_fused_soft_tick_matches_pallas_soft():
     """Soft bounds compose with the fused prologue (r4): one kernel does
     linearize + soft-eliminated IPM. Parity against the two-kernel soft
@@ -162,6 +167,7 @@ def test_fused_soft_rejects_warm():
                                    4, cfg.NX, cfg.NU, Zl=1e3, zl=1e2))
 
 
+@pytest.mark.slow
 def test_fused_quad13_tick_matches_riccati():
     """The quad13 family runs through the fused prologue (r4 registry):
     single-kernel tick vs the XLA Riccati tick on the quaternion model."""
@@ -190,6 +196,7 @@ def test_fused_quad13_tick_matches_riccati():
     assert float(diag_f.qp_kkt_eq) < 1e-2
 
 
+@pytest.mark.slow
 def test_offset_free_loop_fused_matches_xla():
     """B=1 offset-free deployment loop ("blaster_dist" family): the fused
     single-kernel tick and the XLA Riccati tick settle to the same point

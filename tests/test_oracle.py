@@ -126,6 +126,7 @@ def _sqp_fixed_point(ocp, spec, params, F, x0, iters=40):
     return state, np.asarray(step_norms)
 
 
+@pytest.mark.slow
 def test_oracle_hover_nlp():
     """(a) Hover OCP, reference cost: thrusts match <= 1e-3, objective to
     1e-6 relative (gimbal rates are in the R_swivel=1e-5 flat subspace)."""

@@ -64,6 +64,7 @@ def test_pallas_ipm_respects_bounds_interpret():
     assert (du <= ubu + 1e-4).all()
 
 
+@pytest.mark.slow
 def test_pallas_ipm_infinite_bounds_interpret():
     """+-inf bounds are masked out (VERDICT r1: all-finite-only kernel).
 
@@ -197,6 +198,7 @@ def test_pallas_ipm_warm_start_interpret():
     np.testing.assert_array_equal(np.asarray(off.du), np.asarray(cold.du))
 
 
+@pytest.mark.slow
 def test_pallas_warm_blend_nan_guard_interpret():
     """A NaN in the warm start must fall back to the cold init per entry,
     not poison the solve (robustness for long warm chains)."""
@@ -265,6 +267,7 @@ def _all_hard_soft(data):
                       uu=SoftPenalty.hard((N_, nu)))
 
 
+@pytest.mark.slow
 def test_pallas_soft_all_hard_matches_hard_interpret():
     """An all-hard SoftBounds through the soft kernel == the hard kernel:
     the Z=1e18 sentinel must collapse sig_eff to sig_s exactly. One

@@ -1,5 +1,6 @@
 """Scenario batching + sharding on the fake 8-device CPU mesh."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +47,7 @@ def test_batched_step_matches_single():
                                    atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_batched():
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
     ocp, spec, x0s = _setup()

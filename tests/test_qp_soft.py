@@ -214,6 +214,7 @@ def test_rti_step_soft_out_of_box_state():
     assert float(jnp.max(res.t_ux[-10:, 0])) < 0.2
 
 
+@pytest.mark.slow
 def test_rti_step_soft_pallas_backend_matches_xla():
     """rti_step_soft with qp_backend='pallas' (the in-kernel stage-wise
     elimination, interpret mode here) agrees with the XLA soft solver on

@@ -43,6 +43,7 @@ def test_native_qp_matches_jax_ipm(seed):
     assert obj_native == pytest.approx(obj_jax, rel=1e-8, abs=1e-8)
 
 
+@pytest.mark.slow
 def test_native_qp_on_blaster_rti_qp():
     """Differential test on a real linearized BLASTER QP (not random data)."""
     from mpc_blaster_tpu import config as cfg

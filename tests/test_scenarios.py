@@ -78,3 +78,29 @@ def test_scenarios_reproducible():
     a = sample_scenarios(batch=4, seed=7)
     b = sample_scenarios(batch=4, seed=7)
     np.testing.assert_array_equal(np.asarray(a.wind), np.asarray(b.wind))
+
+
+def test_offset_free_loop_smoke():
+    """Fast sibling of the slow fused-vs-XLA offset-free parity test
+    (tests/test_fused_tick.py): the B=1 observer loop on the XLA backend
+    learns a constant wind and stays finite."""
+    import dataclasses
+
+    import jax
+
+    from mpc_blaster_tpu.sim.scenarios import offset_free_loop
+
+    base = cfg.simulation_preset()
+    ocp = dataclasses.replace(
+        base.ocp, N=6, Tf=6 / 30.0,
+        solver=dataclasses.replace(base.ocp.solver, qp_backend="riccati",
+                                   ipm_iters=6))
+    spec = build_spec(ocp, yref=base.loop.yref, dtype=jnp.float32)
+    wind = jnp.asarray([0.5, -0.3, 0.1], jnp.float32)
+    x0 = jnp.zeros(cfg.NX, jnp.float32).at[2].set(3.2)
+    res = jax.jit(lambda s, x: offset_free_loop(
+        s, ocp, x, wind, n_steps=30))(spec, x0)
+    assert bool(jnp.all(jnp.isfinite(res.xs)))
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(res.d_hist[-1, 0:3]),
+                               np.asarray(wind), atol=0.05)

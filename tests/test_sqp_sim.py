@@ -260,6 +260,7 @@ def test_closed_loop_jac_refresh_mode():
     # (test_warm_jacreuse_composition_tracks covers the combined mode)
 
 
+@pytest.mark.slow
 def test_warm_jacreuse_composition_tracks():
     """warm_start + jac_refresh compose (rti_step_warm_jacreuse): the
     shifted-warm Jacobian-reuse loop reaches the hover target like the

@@ -104,6 +104,7 @@ def test_watchdog_quiet_on_deployed_chain():
     assert abs(float(x[2]) - 3.5) < 0.8  # climbing to target, no blowup
 
 
+@pytest.mark.slow
 def test_watchdog_downgrades_degraded_raw_chain():
     """The RAW unshifted full-warm chain (HPIPM warm_start=1, the config
     the reference had to disable) degrades mid-climb at N=10: measured
