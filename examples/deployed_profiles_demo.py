@@ -11,7 +11,11 @@ qp_backend="pallas_fused", linearization inside the IPM kernel):
 
 All three pass the altitude-step transient stress that diverges RAW
 (unshifted) warm chains by hundreds of meters — the shift is the
-load-bearing repair (see ROADMAP.md's warm-start decision table).
+load-bearing repair (see ROADMAP.md's warm-start decision table), and
+since r4 "fastest" additionally carries the ONLINE divergence watchdog
+(SolverConfig.warm_watchdog -> sqp/rti.py::rti_step_warm_guarded): a
+tick whose diagnostics jump is recomputed cold and the chain held cold
+with escalating holds, so the profile is safe by construction.
 
 Run (CPU, ~2 min):  python examples/deployed_profiles_demo.py
 """
