@@ -238,6 +238,11 @@ def main():
             ("warm3shiftf", ocp, spec,
              dict(iters=3, warm=True, warm_mode="primal", warm_shift=True,
                   backend="pallas_fused")),
+            # the EXACT deployed_solver("fastest") config: single-kernel
+            # fused tick + shifted primal warm chain + online watchdog
+            ("warm3shiftfwd", ocp, spec,
+             dict(iters=3, warm=True, warm_mode="primal", warm_shift=True,
+                  watchdog=True, backend="pallas_fused")),
             ("rt6f_n30", ocp30, spec30,
              dict(iters=6, backend="pallas_fused")),
             ("rt6f_n60", ocp60, spec60,
@@ -329,6 +334,31 @@ def main():
         except Exception as e:
             out["rt6f_soft_solve_hz"] = 0.0
             out["rt6f_soft_error"] = err_s(e)
+
+    # ---- offset-free deployment tick (r4: observer + fused blaster_dist
+    # family — the B=1 twin of disturbance_sweep(offset_free=True)) ----
+    if have_pallas:
+        try:
+            log("bench: offset-free fused loop")
+            from mpc_blaster_tpu.sim.scenarios import offset_free_loop
+            ocp_of = dataclasses.replace(
+                ocp, solver=dataclasses.replace(
+                    ocp.solver, qp_backend="pallas_fused", ipm_iters=6))
+            wind_of = jnp.asarray([0.7, -0.5, 0.2], dtype)
+            run_of = jax.jit(lambda s, x: offset_free_loop(
+                s, ocp_of, x, wind_of, n_steps=100))
+            lat_of = with_retry(lambda: device_time(
+                lambda: run_of(spec, x0), reps=4)) / 100
+            out["offsetfree_fused_tick_hz"] = round(1.0 / lat_of, 1)
+            res_of = run_of(spec, x0)
+            dvec = np.asarray(res_of.d_hist[-1, 0:3])
+            out["offsetfree_wind_est_err"] = round(
+                float(np.linalg.norm(dvec - np.asarray([0.7, -0.5, 0.2]))),
+                4)
+            log(f"bench: offset-free fused = {lat_of*1e3:.3f} ms")
+        except Exception as e:
+            out["offsetfree_fused_tick_hz"] = 0.0
+            out["offsetfree_error"] = err_s(e)
 
     # ---- kernel-only speed-of-light accounting (roofline) ----
     if have_pallas:
