@@ -80,17 +80,18 @@ class FlightNode:
     def __init__(self, preset: Optional[cfg.Preset] = None,
                  adapter: Optional[AttitudeAdapter] = None,
                  dtype=jnp.float32,
-                 use_measured_pose: bool = False):
+                 use_measured_pose: bool = False,
+                 warm_start: bool = False):
         self.preset = preset or cfg.flight_preset()
         self.adapter = adapter or CollectAdapter()
         self.dtype = dtype
         self.use_measured_pose = use_measured_pose
+        self.warm_start = warm_start
 
         ocp = self.preset.ocp
         self.spec: OCPSpec = build_spec(ocp, yref=self.preset.loop.yref,
                                         dtype=dtype)
         self.params = BlasterParams.from_config(ocp.model, dtype)
-        self._step = make_rti_step(ocp, dtype=dtype)
         self._plant = jax.jit(discrete_dynamics(blaster_ode, ocp.dt,
                                                 num_steps=1))
         self._plant_params = self.spec.stage_params[0]
@@ -98,6 +99,37 @@ class FlightNode:
         self.state: RTIState = init_rti_state(ocp, self.x, dtype)
         self.history_x: List[np.ndarray] = [np.asarray(self.x)]
         self.history_u: List[np.ndarray] = []
+
+        if warm_start:
+            # warm-chain flight loop (r4): the deployed_solver("fastest")
+            # profile threads IPM slack/dual state between ticks, with
+            # the online divergence watchdog when
+            # solver.warm_watchdog=True — the flight shell runs the SAME
+            # guarded chain the sim loops deploy
+            from mpc_blaster_tpu.qp.ipm import IpmWarmStart
+            from mpc_blaster_tpu.sqp.rti import (WatchdogState,
+                                                 fused_dyn_statics,
+                                                 make_linearizer,
+                                                 rti_step_warm,
+                                                 rti_step_warm_guarded)
+            F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+            lin = make_linearizer(ocp, self.params)
+            dyn = (fused_dyn_statics(ocp, 1)
+                   if ocp.solver.qp_backend == "pallas_fused" else None)
+            self._warm = IpmWarmStart.zeros(ocp.N, cfg.NX, cfg.NU, dtype)
+            self._wd = WatchdogState.init(dtype)
+            if ocp.solver.warm_watchdog:
+                self._step_warm = jax.jit(
+                    lambda spec, st, w, wd, x: rti_step_warm_guarded(
+                        spec, st, w, wd, x, self.params, F, ocp.solver,
+                        linearizer=lin, dyn_statics=dyn))
+            else:
+                self._step_warm = jax.jit(
+                    lambda spec, st, w, x: rti_step_warm(
+                        spec, st, w, x, self.params, F, ocp.solver,
+                        linearizer=lin, dyn_statics=dyn))
+        else:
+            self._step = make_rti_step(ocp, dtype=dtype)
 
     def tick(self) -> AttitudeTarget:
         """One 10 Hz control tick (`mavros_blaster_sim.py:67-121`)."""
@@ -108,7 +140,17 @@ class FlightNode:
                                                         self.dtype))
                 self.x = self.x.at[3:6].set(jnp.asarray(pose[3:6],
                                                         self.dtype))
-        u0, self.state, _diag = self._step(self.spec, self.state, self.x)
+        if self.warm_start:
+            if self.preset.ocp.solver.warm_watchdog:
+                (u0, self.state, self._warm, self._wd,
+                 _diag) = self._step_warm(self.spec, self.state,
+                                          self._warm, self._wd, self.x)
+            else:
+                u0, self.state, self._warm, _diag = self._step_warm(
+                    self.spec, self.state, self._warm, self.x)
+        else:
+            u0, self.state, _diag = self._step(self.spec, self.state,
+                                               self.x)
         u0_np = np.asarray(u0)
 
         # Reference publishes the *stage-0* attitude (== current state due

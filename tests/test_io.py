@@ -56,3 +56,31 @@ def test_pose_probe_callback_and_poll():
     latest = probe.latest()
     np.testing.assert_allclose(latest.position, [1, 2, 3])
     assert latest.age(now=100.5) == 0.5
+
+
+def test_flight_node_warm_watchdog_profile():
+    """The flight shell runs the deployed warm-chain profile (r4): warm
+    slack/dual threading + online watchdog, same guarded chain as the
+    sim loops. CPU-speed variant of deployed_solver('fastest'): riccati
+    backend, same warm/shift/watchdog flags."""
+    import dataclasses
+
+    from mpc_blaster_tpu import config as cfg
+
+    sv = dataclasses.replace(
+        cfg.deployed_solver("fastest"), qp_backend="riccati",
+        lin_backend="fused")
+    preset = cfg.flight_preset()
+    preset = dataclasses.replace(
+        preset, ocp=dataclasses.replace(preset.ocp, solver=sv))
+    node = FlightNode(preset=preset, warm_start=True)
+    node.run(n_steps=5)
+    msgs = node.adapter.messages
+    assert len(msgs) == 6  # 5 ticks + hover-out
+    for m in msgs:
+        assert m.type_mask == 7
+        assert np.isfinite(m.thrust)
+        assert abs(np.linalg.norm(m.orientation) - 1.0) < 1e-5
+    assert int(node._wd.trips) == 0  # healthy hover chain never trips
+    xs = np.asarray(node.history_x)
+    assert np.isfinite(xs).all()
