@@ -114,7 +114,15 @@ def main():
     qp_backend = "pallas" if have_pallas else "riccati"
 
     # ---- batched throughput per backend: K chained full RTI ticks ----
+    # r4: batched rows run the DEPLOYED fused component-form linearizer
+    # (lin_backend="fused"), same as every latency row — measured 2.47x
+    # over the vmapped-jacfwd default at B=1024 (41.1k -> 101.8k
+    # solves/s; the kernel was never the batched bottleneck, the
+    # linearization was). Bridge: r1-r3 batched rows used jacfwd.
     def batched_rate(ocp_b, spec_b, B, K, backend):
+        ocp_b = dataclasses.replace(
+            ocp_b, solver=dataclasses.replace(ocp_b.solver,
+                                              lin_backend="fused"))
         x0s = draws(B)
         states = jax.vmap(lambda x: init_rti_state(ocp_b, x, dtype))(x0s)
         step = batched_rti_step(ocp_b, dtype=dtype, jit=False,
