@@ -114,15 +114,18 @@ def main():
     qp_backend = "pallas" if have_pallas else "riccati"
 
     # ---- batched throughput per backend: K chained full RTI ticks ----
-    # r4: batched rows run the DEPLOYED fused component-form linearizer
-    # (lin_backend="fused"), same as every latency row — measured 2.47x
-    # over the vmapped-jacfwd default at B=1024 (41.1k -> 101.8k
-    # solves/s; the kernel was never the batched bottleneck, the
-    # linearization was). Bridge: r1-r3 batched rows used jacfwd.
+    # r4: batched PALLAS rows run the DEPLOYED fused component-form
+    # linearizer, same as every latency row — measured 2.47x at B=1024
+    # (41.1k -> 101.8k solves/s; the kernel was never the batched
+    # bottleneck, the linearization was). The XLA backend keeps jacfwd:
+    # measured SLOWER with the fused layout (16.7k -> 10.5k — its
+    # transpose-heavy schedule fuses worse into the XLA Riccati path).
+    # Bridge: r1-r3 batched rows all used jacfwd.
     def batched_rate(ocp_b, spec_b, B, K, backend):
+        lb = "fused" if backend == "pallas" else "jacfwd"
         ocp_b = dataclasses.replace(
             ocp_b, solver=dataclasses.replace(ocp_b.solver,
-                                              lin_backend="fused"))
+                                              lin_backend=lb))
         x0s = draws(B)
         states = jax.vmap(lambda x: init_rti_state(ocp_b, x, dtype))(x0s)
         step = batched_rti_step(ocp_b, dtype=dtype, jit=False,
