@@ -103,6 +103,14 @@ def offset_free_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0, wind,
 
     wind: (3,) constant plant wind acceleration (controller blind to it);
     derate: optional (4,) rotor effectiveness for fault recovery.
+
+    WEIGHT CAVEAT (measured r4): wind compensation needs a
+    non-degenerate gimbal weight. Under the sim preset's R_swivel=1e-5
+    the gimbal's lateral blast-force channel is a near-free actuator
+    and the compensated loop limit-cycles (+-1 m hunt, QP eq ~1e-1)
+    even with an EXACT disturbance estimate; the flight preset's
+    R_swivel=10 converges to centimeters with eq ~1e-10
+    (examples/offset_free_demo.py, CLAUDE.md numerical facts).
     """
     from mpc_blaster_tpu.sqp.rti import fused_dyn_statics, rti_step
 
