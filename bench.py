@@ -352,20 +352,33 @@ def main():
         try:
             log("bench: offset-free fused loop")
             from mpc_blaster_tpu.sim.scenarios import offset_free_loop
+            # FLIGHT preset weights: wind compensation needs the
+            # non-degenerate gimbal weight (R_swivel=10) — under the sim
+            # weights the compensated loop limit-cycles through the flat
+            # gimbal subspace (CLAUDE.md r4 finding); the row should
+            # measure a healthy closed loop
+            fpre = cfg.flight_preset()
             ocp_of = dataclasses.replace(
-                ocp, solver=dataclasses.replace(
-                    ocp.solver, qp_backend="pallas_fused", ipm_iters=6))
+                fpre.ocp, N=20, Tf=20 / 30.0,
+                solver=dataclasses.replace(
+                    fpre.ocp.solver, qp_backend="pallas_fused",
+                    ipm_iters=6))
+            spec_of = build_spec(ocp_of, yref=fpre.loop.yref, dtype=dtype)
+            tgt_of = np.asarray(spec_of.yref_x[0, 0:3])
+            x0_of = jnp.zeros(cfg.NX, dtype).at[2].set(3.0)
             wind_of = jnp.asarray([0.7, -0.5, 0.2], dtype)
             run_of = jax.jit(lambda s, x: offset_free_loop(
                 s, ocp_of, x, wind_of, n_steps=100))
             lat_of = with_retry(lambda: device_time(
-                lambda: run_of(spec, x0), reps=4)) / 100
+                lambda: run_of(spec_of, x0_of), reps=4)) / 100
             out["offsetfree_fused_tick_hz"] = round(1.0 / lat_of, 1)
-            res_of = run_of(spec, x0)
+            res_of = run_of(spec_of, x0_of)
             dvec = np.asarray(res_of.d_hist[-1, 0:3])
             out["offsetfree_wind_est_err"] = round(
                 float(np.linalg.norm(dvec - np.asarray([0.7, -0.5, 0.2]))),
                 4)
+            out["offsetfree_settle_err_m"] = round(float(np.linalg.norm(
+                np.asarray(res_of.xs[-1, 0:3]) - tgt_of)), 4)
             log(f"bench: offset-free fused = {lat_of*1e3:.3f} ms")
         except Exception as e:
             out["offsetfree_fused_tick_hz"] = 0.0
