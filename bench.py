@@ -158,6 +158,24 @@ def main():
                     if out.get("pallas_solves_per_s", 0.0) >= rates[0]
                     else "xla")
 
+    # r4: batched tick at the DEPLOYED 6-iteration budget (the rows
+    # above run the sim preset's deep-converge 12-iteration budget —
+    # hardware attribution: a 12-iter batched tick is 1.62 ms
+    # linearization + 1.9 ms assembly/update + ~6.8 ms kernel per
+    # 1024-pass, so halving the kernel budget to the deployed rt6
+    # setting lifts throughput ~1.46x)
+    if have_pallas:
+        try:
+            log("bench: batched N=20 pallas rt6 budget (B=1024, K=10)")
+            ocp_b6 = dataclasses.replace(
+                ocp, solver=dataclasses.replace(ocp.solver, ipm_iters=6))
+            out["batched_rt6_solves_per_s"] = round(
+                batched_rate(ocp_b6, spec, 1024, 10, "pallas"), 1)
+            log(f"bench: batched rt6 = {out['batched_rt6_solves_per_s']}")
+        except Exception as e:
+            out["batched_rt6_solves_per_s"] = 0.0
+            out["batched_rt6_error"] = err_s(e)
+
     # BASELINE config 4: 4096 disturbance draws
     try:
         log("bench: batched N=20 4096-draw sweep")
@@ -449,11 +467,13 @@ def main():
             out["batched_kernel_solves_per_s"] = round(rate_k, 1)
             out["batched_model_frac"] = round(rb["model_frac"], 3)
             out["batched_bound_by"] = rb["bound_by"]
-            # the full-tick rate against the same kernel ceiling: the gap
-            # between this and batched_model_frac is linearization + QP
-            # assembly overhead
+            # the full-tick rate against the same 6-iteration kernel
+            # ceiling — compared at the MATCHING budget (batched_rt6),
+            # not the preset's 12-iteration rows; the gap to
+            # batched_model_frac is linearization + QP assembly overhead
             out["batched_tick_model_frac"] = round(
-                out.get("pallas_solves_per_s", 0.0)
+                out.get("batched_rt6_solves_per_s",
+                        out.get("pallas_solves_per_s", 0.0))
                 / rb["ceiling_solves_per_s"], 3)
         except Exception as e:
             out["batched_roofline_error"] = err_s(e)
