@@ -52,8 +52,9 @@ def err_s(e):
     return s[:120]
 
 
-_TRANSIENT = ("500", "unavailable", "deadline", "connection", "tunnel",
-              "socket", "reset", "timed out", "transport")
+_TRANSIENT = ("http 500", "tpu_compile_helper", "unavailable", "deadline",
+              "connection reset", "connection refused", "connection aborted",
+              "tunnel", "socket", "timed out", "transport")
 
 
 def with_retry(fn, attempts=2, sleep_s=8.0):
@@ -471,9 +472,11 @@ def main():
             # ceiling — compared at the MATCHING budget (batched_rt6),
             # not the preset's 12-iteration rows; the gap to
             # batched_model_frac is linearization + QP assembly overhead
+            # `or` fallback (ADVICE r4): a failed batched_rt6 row records
+            # the key with value 0.0, which must not mask the fallback
             out["batched_tick_model_frac"] = round(
-                out.get("batched_rt6_solves_per_s",
-                        out.get("pallas_solves_per_s", 0.0))
+                (out.get("batched_rt6_solves_per_s")
+                 or out.get("pallas_solves_per_s", 0.0))
                 / rb["ceiling_solves_per_s"], 3)
         except Exception as e:
             out["batched_roofline_error"] = err_s(e)

@@ -46,6 +46,17 @@ def test_with_retry_retries_transient_only():
         bench.with_retry(hard, attempts=3, sleep_s=0.0)
     assert len(calls) == 1  # non-transient: no retry
 
+    def dim500():
+        # ADVICE r4: a literal "500" inside a deterministic shape error
+        # must NOT look transient now that the pattern anchors "http 500"
+        calls.append(1)
+        raise ValueError("cannot reshape array of dimension 500 into (17,)")
+
+    calls.clear()
+    with pytest.raises(ValueError):
+        bench.with_retry(dim500, attempts=3, sleep_s=0.0)
+    assert len(calls) == 1
+
     def always_500():
         calls.append(1)
         raise RuntimeError("connection reset by peer")

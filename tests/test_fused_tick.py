@@ -162,7 +162,9 @@ def test_fused_soft_rejects_warm():
     from mpc_blaster_tpu.qp.soft import SoftBounds
 
     with pytest.raises(ValueError, match="soft bounds do not support"):
-        pallas_fused_rti_solve(*([None] * 14), model=(0.0,) * 8, dt=0.1,
+        pallas_fused_rti_solve(*([None] * 14),
+                               model=("blaster", 9.0, 9.81, 0.3395, 0.3395,
+                                      0.03, 0.48, 0.55, 0.8), dt=0.1,
                                warm=object(), soft=SoftBounds.state_bounds(
                                    4, cfg.NX, cfg.NU, Zl=1e3, zl=1e2))
 
