@@ -15,7 +15,7 @@ Presets:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -168,6 +168,19 @@ class SolverConfig:
     # (the altitude-step failure class is caught online instead of by
     # offline stress gating alone).
     warm_watchdog: bool = False
+    # QP-ONLY control-Hessian floor (r5): per-control minimum diagonal of
+    # the R used to build the QP's Gauss-Newton Hessian. The QP GRADIENT
+    # keeps the true R, so stationary points of the reported cost are
+    # unchanged — this is pure proximal (Levenberg-style) damping of
+    # weakly-determined control subspaces. Motivation (measured r4):
+    # under the sim preset's R_swivel=1e-5 the gimbal's lateral
+    # blast-force channel is a near-free actuator, and offset-free wind
+    # compensation excites it into a +-1 m limit cycle even with an
+    # EXACT disturbance estimate; flooring the two swivel-rate Hessian
+    # entries damps the per-tick du proposals in that flat subspace and
+    # the same loop settles to centimeters (tests/test_scenarios.py).
+    # None (default) = off: every existing loop is bit-unchanged.
+    qp_r_floor: Optional[Tuple[float, ...]] = None
     tol_stat: float = 1e-6
     tol_eq: float = 1e-6
     tol_ineq: float = 1e-6

@@ -200,7 +200,7 @@ def _chol_inverse_lanes(M):
 
 # ------------------------------- the kernel -------------------------------
 
-def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
+def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, R1g_ref, r_ref,
                 lbx_ref, ubx_ref, lbu_ref, ubu_ref, dx0_ref, wvalid_ref,
                 wslx_ref, wsux_ref, wllx_ref, wlux_ref,
                 wslu_ref, wsuu_ref, wllu_ref, wluu_ref,
@@ -226,8 +226,8 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
                 alpha_frac: float, reg: float, s_min: float, mu_min: float,
                 sigma_max: float, lam_max: float, eps_s: float,
                 stream_p: bool, stream_big: bool, chunk: int, soft: bool,
-                warm_on: bool, fuse_lin: bool = False, model=None,
-                dt_dyn: float = 0.0, nsteps: int = 1):
+                warm_on: bool, fuse_lin: bool = False, fuse_cost: bool = False,
+                model=None, dt_dyn: float = 0.0, nsteps: int = 1):
     """NOTE on naming: slx_s..lam_uu_s are OUTPUT refs (warm-start outputs)
     doubling as the iterate's slack/dual state; the wslx_ref.. inputs are
     aliased onto them and must only be read before the init pass writes.
@@ -408,17 +408,22 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
             return cold
 
     # ---- fused cost/bounds (single-kernel tick, part 2) -----------------
-    # With fuse_lin the kernel also derives the delta-form cost gradients
-    # and box bounds from the iterate (`build_qp`'s q/r/bounds algebra,
-    # sqp/rti.py): q_k = Qs (xbar_k - yref_k) with Qs ALREADY dt-scaled
-    # by the host (terminal row unscaled, matching build_qp), bounds are
-    # single-row absolute boxes minus the iterate. After the fill the
-    # input names are REBOUND to the scratch refs, so the whole IPM below
-    # is oblivious. dx0 is derived in init (x0 - xbar_0).
-    if fuse_lin:
+    # With fuse_lin OR fuse_cost the kernel also derives the delta-form
+    # cost gradients and box bounds from the iterate (`build_qp`'s
+    # q/r/bounds algebra, sqp/rti.py): q_k = Qs (xbar_k - yref_k) with Qs
+    # ALREADY dt-scaled by the host (terminal row unscaled, matching
+    # build_qp), bounds are single-row absolute boxes minus the iterate.
+    # After the fill the input names are REBOUND to the scratch refs, so
+    # the whole IPM below is oblivious. dx0 is derived in init
+    # (x0 - xbar_0). The GRADIENT uses R1g_ref — it differs from the
+    # Hessian R1_ref when `SolverConfig.qp_r_floor` damps
+    # weakly-determined control subspaces QP-side only (sqp/rti.py::
+    # qp_hessian_R); without a floor the host passes the same tensor.
+    fuse_any = fuse_lin or fuse_cost
+    if fuse_any:
         def cost_fill(k, _):
             qf_s[k] = _contractT_vec(Qs_ref[...], xb_ref[k] - yrx_ref[k])
-            rf_s[k] = _contractT_vec(R1_ref[...], ub_ref[k] - yru_ref[k])
+            rf_s[k] = _contractT_vec(R1g_ref[...], ub_ref[k] - yru_ref[k])
             lbxd_s[k] = lbxa_ref[...] - xb_ref[k + 1]
             ubxd_s[k] = ubxa_ref[...] - xb_ref[k + 1]
             lbud_s[k] = lbua_ref[...] - ub_ref[k]
@@ -562,7 +567,7 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     # ---- initial point: rollout (du=0) + mask-aware 10%-inset clamp,
     # centered slacks/duals, then warm blend (reads the aliased warm
     # inputs BEFORE overwriting them) ----
-    if fuse_lin:
+    if fuse_any:
         dx_s[0] = x0_ref[...] - xb_ref[0]
     else:
         dx_s[0] = dx0_ref[...]
@@ -1010,7 +1015,41 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, r_ref,
     # last-iterate duals can be garbage past convergence; fall back to the
     # best merit (an upper bound on the true stationarity residual)
     stf = jnp.where(jnp.isfinite(stf), jnp.minimum(stf, bm_s[0]), bm_s[0])
-    diag_out[...] = jnp.stack([stf, eqf, bm_s[0]], axis=0)
+    zB = jnp.zeros((Bt,), f32)
+    if fuse_cost:
+        # ---- fold the RTI state update into the kernel (batched fused
+        # tick, r5): dx_out/du_out leave as the UPDATED ABSOLUTE iterate
+        # xbar + dx / ubar + du, and the per-problem step norms + worst
+        # box violation of the new iterate (sqp/rti.py's RTIDiagnostics
+        # tail) ride extra diag rows — the host-side elementwise passes
+        # over (B, N, nx) tensors disappear entirely.
+        def finx(k, acc):
+            sx, vio = acc
+            dxk = dx_out[k]
+            sx = jnp.maximum(sx, jnp.max(jnp.abs(dxk), axis=0))
+            xnew = xb_ref[k] + dxk
+            dx_out[k] = xnew
+            vio = jnp.maximum(vio, jnp.max(lbxa_ref[...] - xnew, axis=0))
+            vio = jnp.maximum(vio, jnp.max(xnew - ubxa_ref[...], axis=0))
+            return sx, vio
+
+        sx, vio = jax.lax.fori_loop(0, N + 1, finx, (zB, zB))
+
+        def finu(k, acc):
+            su, vio = acc
+            duk = du_out[k]
+            su = jnp.maximum(su, jnp.max(jnp.abs(duk), axis=0))
+            unew = ub_ref[k] + duk
+            du_out[k] = unew
+            vio = jnp.maximum(vio, jnp.max(lbua_ref[...] - unew, axis=0))
+            vio = jnp.maximum(vio, jnp.max(unew - ubua_ref[...], axis=0))
+            return su, vio
+
+        su, vio = jax.lax.fori_loop(0, N, finu, (zB, vio))
+        vio = jnp.maximum(vio, 0.0)
+        diag_out[...] = jnp.stack([stf, eqf, bm_s[0], sx, su, vio], axis=0)
+    else:
+        diag_out[...] = jnp.stack([stf, eqf, bm_s[0], zB, zB, zB], axis=0)
 
 
 # ------------------------------ host wrapper ------------------------------
@@ -1076,10 +1115,12 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
     if soft is not None and warm is not None:
         raise ValueError("soft bounds do not support slack/dual warm "
                          "starts (violation pairs are not carried)")
-    return _pallas_box_qp_solve(data, warm, soft, None, iters=iters, mu0=mu0,
-                                alpha_frac=alpha_frac, reg=reg,
-                                interpret=interpret, stream_p=stream_p,
-                                stream_big=stream_big)
+    sol, _ = _pallas_box_qp_solve(data, warm, soft, None, iters=iters,
+                                  mu0=mu0,
+                                  alpha_frac=alpha_frac, reg=reg,
+                                  interpret=interpret, stream_p=stream_p,
+                                  stream_big=stream_big)
+    return sol
 
 
 def pallas_fused_rti_solve(xbar, ubar, stage_params, x0, Q, Q_t, R,
@@ -1088,7 +1129,7 @@ def pallas_fused_rti_solve(xbar, ubar, stage_params, x0, Q, Q_t, R,
                            iters: int = 6, mu0: float = 1e-1,
                            alpha_frac: float = 0.995, reg: float = 1e-6,
                            interpret: bool = False, warm=None,
-                           soft=None) -> QPSolution:
+                           soft=None, R_grad=None) -> QPSolution:
     """Single-kernel RTI QP solve: the ENTIRE QP construction — RK4
     linearization (forward sensitivities + shooting defects), dt-scaled
     cost gradients, delta-form box bounds and the pinned dx0 — happens
@@ -1123,6 +1164,11 @@ def pallas_fused_rti_solve(xbar, ubar, stage_params, x0, Q, Q_t, R,
     fused prologue (r4): the stage-wise elimination runs in the same
     kernel off the in-kernel-derived delta bounds; penalties are
     shift-invariant so the (N, nx|nu) spec applies unchanged.
+
+    R_grad: optional (B, nu, nu) — the R used for the in-kernel COST
+    GRADIENT when it differs from the Hessian input `R` (the
+    `SolverConfig.qp_r_floor` QP-only damping, `sqp/rti.py::
+    qp_hessian_R`); None means gradient == Hessian R (no floor).
     """
     if soft is not None and warm is not None:
         raise ValueError("soft bounds do not support slack/dual warm "
@@ -1140,12 +1186,52 @@ def pallas_fused_rti_solve(xbar, ubar, stage_params, x0, Q, Q_t, R,
                          f"(got {nx_f}+{nu_f}); use qp_backend='pallas'")
     fuse = (xbar, ubar, stage_params, x0, Q, Q_t, R,
             yref_x, yref_u, yref_e, lbx, ubx, lbu, ubu)
-    return _pallas_box_qp_solve(None, warm, soft, fuse,
-                                iters=iters, mu0=mu0,
-                                alpha_frac=alpha_frac, reg=reg,
-                                interpret=interpret, stream_p=False,
-                                stream_big=False, model=tuple(model),
-                                dt_dyn=float(dt), nsteps=int(num_steps))
+    sol, _ = _pallas_box_qp_solve(None, warm, soft, fuse,
+                                  iters=iters, mu0=mu0,
+                                  alpha_frac=alpha_frac, reg=reg,
+                                  interpret=interpret, stream_p=False,
+                                  stream_big=False, model=tuple(model),
+                                  dt_dyn=float(dt), nsteps=int(num_steps),
+                                  R_grad=R_grad)
+    return sol
+
+
+def pallas_batched_fused_tick(AB, c, xbar, ubar, x0, Q, Q_t, R,
+                              yref_x, yref_u, yref_e, lbx, ubx, lbu, ubu,
+                              iters: int = 6, mu0: float = 1e-1,
+                              alpha_frac: float = 0.995, reg: float = 1e-6,
+                              interpret: bool = False, warm=None,
+                              R_grad=None):
+    """BATCHED single-kernel RTI tick body (r5): host linearization, but
+    cost gradients, delta bounds, dx0 assembly AND the iterate update all
+    run inside the IPM kernel — the only per-problem host work left in a
+    batched tick is the linearizer itself. The r4 batched path spent
+    ~45% of its wall clock on exactly these host-side elementwise passes
+    (ROADMAP r5 item 1); this entry removes them.
+
+    Arguments (leading batch axis B everywhere; broadcast shared spec
+    tensors with `jnp.broadcast_to` — they are lane-tiled, not copied):
+      AB (B, N, nx, nx+nu)  packed discrete Jacobians [A | B];
+      c  (B, N, nx)         shooting defects x_pred - xbar[1:];
+      xbar (B, N+1, nx), ubar (B, N, nu), x0 (B, nx);
+      Q/Q_t/R as in `pallas_fused_rti_solve` (Q/R ALREADY dt-scaled);
+      yref_x (B, N, nx), yref_u (B, N, nu), yref_e (B, nx);
+      lbx/ubx (B, nx), lbu/ubu (B, nu) single-row absolute boxes.
+
+    Returns (new_xbar (B, N+1, nx), new_ubar (B, N, nu),
+    diag dict with kkt_stat/kkt_eq/mu/step_norm_x/step_norm_u/bound_viol
+    per problem, warm_out-able QPSolution) — `sol.dx`/`sol.du` here ARE
+    the updated absolute iterate (in-kernel state update).
+    """
+    fuse = (xbar, ubar, xbar[:, :1, :1], x0, Q, Q_t, R,
+            yref_x, yref_u, yref_e, lbx, ubx, lbu, ubu)
+    sol, (sx, su, vio) = _pallas_box_qp_solve(
+        None, warm, None, fuse, iters=iters, mu0=mu0,
+        alpha_frac=alpha_frac, reg=reg, interpret=interpret,
+        stream_p=False, stream_big=False, fuse_ab=(AB, c), R_grad=R_grad)
+    diag = {"kkt_stat": sol.kkt_stat, "kkt_eq": sol.kkt_eq, "mu": sol.mu,
+            "step_norm_x": sx, "step_norm_u": su, "bound_viol": vio}
+    return sol.dx, sol.du, diag, sol
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "mu0", "alpha_frac",
@@ -1158,8 +1244,19 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
                          interpret: bool, stream_p: bool | None,
                          stream_big: bool | None, model=None,
                          dt_dyn: float = 0.0,
-                         nsteps: int = 1) -> QPSolution:
+                         nsteps: int = 1, fuse_ab=None,
+                         R_grad=None) -> QPSolution:
+    # Three modes (trace-time):
+    #   plain        — data is a QPData, everything host-assembled;
+    #   fuse_lin     — fuse tuple only: B=1 single-kernel tick, in-kernel
+    #                  linearization + cost/bounds assembly;
+    #   fuse_cost    — fuse tuple + fuse_ab=(AB_packed, c): BATCHED tick,
+    #                  host linearization but in-kernel cost/bounds/dx0
+    #                  assembly AND in-kernel state update (r5 — the
+    #                  outputs are the updated absolute iterate).
     fuse_on = fuse is not None
+    fuse_lin_on = fuse_on and fuse_ab is None
+    fuse_cost_on = fuse_on and fuse_ab is not None
     if fuse_on:
         B = fuse[3].shape[0]
         N, nx, nu = fuse[1].shape[1], fuse[0].shape[-1], fuse[1].shape[-1]
@@ -1186,12 +1283,13 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
 
     np_sp = 0 if fuse is None else fuse[2].shape[-1]
     if fuse_on:
-        # A/B/c, q/r, delta bounds and dx0 are all derived in-kernel from
-        # the iterate + spec tensors; their input slots shrink to dummies
-        # (never read — `fuse_lin` gates at trace time)
+        # q/r, delta bounds and dx0 are all derived in-kernel from the
+        # iterate + spec tensors; their input slots shrink to dummies
+        # (never read — the fuse flags gate at trace time). A/B/c are
+        # in-kernel too in fuse_lin mode, host-linearized inputs in
+        # fuse_cost mode.
         xb = prep(fuse[0])
         ub = prep(fuse[1])
-        sp = prep(fuse[2])
         x0i = prep(fuse[3])
         Qs = prep(fuse[4])
         Qt = prep(fuse[5])
@@ -1205,7 +1303,15 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
         ubua = prep(san(fuse[13], False))
         T_tiles0 = x0i.shape[0]
         dum = jnp.zeros((T_tiles0, 1, LANES), f32)
-        AB = c = q = r = lbx = ubx = lbu = ubu = dx0 = dum
+        q = r = lbx = ubx = lbu = ubu = dx0 = dum
+        if fuse_cost_on:
+            AB = prep(fuse_ab[0])
+            c = prep(fuse_ab[1])
+            sp = dum          # stage params only feed the fuse_lin prologue
+        else:
+            sp = prep(fuse[2])
+            AB = c = dum
+        R1g = prep(R_grad) if R_grad is not None else R1
     else:
         AB = prep(jnp.concatenate([data.A, data.B], axis=-1))
         c = prep(data.c)
@@ -1223,6 +1329,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
         dum = jnp.zeros((T_tiles0, 1, LANES), f32)
         xb = ub = sp = x0i = yrx = yru = yre = dum
         lbxa = ubxa = lbua = ubua = dum
+        R1g = dum
     warm_on = warm is not None
     if warm_on:
         wvalid = prep(jnp.reshape(warm.valid, (B, 1)))
@@ -1272,10 +1379,12 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
         if fuse_on:
             # ab_s/qf/rf/bound/c_s scratch replace the (dummied) inputs
             # byte-for-byte (the base accounting above already counts
-            # c/q/r/bounds/dx0 at full size, covering the scratch twins);
-            # the net additions are the iterate/spec inputs
-            # (xbar/ubar/sp/x0/yrefs) and the single-row abs boxes
-            vecs += ((N + 1) * nx + N * nu + N * np_sp
+            # c/q/r/bounds/dx0 at full size, covering the scratch twins;
+            # in fuse_cost mode the roles swap — real AB/c inputs, dummy
+            # scratch — with the same total). The net additions are the
+            # iterate/spec inputs (xbar/ubar/sp/x0/yrefs), the gradient
+            # R1g and the single-row abs boxes.
+            vecs += ((N + 1) * nx + N * nu + N * np_sp + nu * nu
                      + N * nx + N * nu + 2 * nx + 2 * (nx + nu))
         return (mats + vecs) * lane
     if soft_on:
@@ -1354,7 +1463,8 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
         alpha_frac=alpha_frac, reg=reg, s_min=s_min, mu_min=mu_min,
         sigma_max=sigma_max, lam_max=lam_max, eps_s=eps_s,
         stream_p=stream_p, stream_big=stream_big, chunk=chunk,
-        soft=soft_on, warm_on=warm_on, fuse_lin=fuse_on, model=model,
+        soft=soft_on, warm_on=warm_on, fuse_lin=fuse_lin_on,
+        fuse_cost=fuse_cost_on, model=model,
         dt_dyn=dt_dyn, nsteps=nsteps)
 
     def vspec():
@@ -1366,7 +1476,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
     xs = jax.ShapeDtypeStruct((N, nx, LANES), f32)
     us = jax.ShapeDtypeStruct((N, nu, LANES), f32)
     in_specs = ([anyspec() if stream_big else vspec()]
-                + [vspec()] * 39)
+                + [vspec()] * 40)
     out_specs = (vspec(), vspec(), vspec(),
                  anyspec(), anyspec(),
                  vspec(), vspec(), vspec(), vspec(),
@@ -1388,7 +1498,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
     out_shape = (
         jax.ShapeDtypeStruct((N + 1, nx, LANES), f32),   # dx
         jax.ShapeDtypeStruct((N, nu, LANES), f32),       # du
-        jax.ShapeDtypeStruct((3, LANES), f32),           # diag
+        jax.ShapeDtypeStruct((6, LANES), f32),           # diag (r5: 6 rows)
         jax.ShapeDtypeStruct(p_dump_shape, f32),         # P dump
         jax.ShapeDtypeStruct(z_dump_shape, f32),         # Z dump
         xs, xs, xs, xs,                                  # slx sux llx lux
@@ -1421,8 +1531,9 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
                 pltpu.VMEM(tx, f32), pltpu.VMEM(tx, f32),   # tux gux
                 pltpu.VMEM(tu, f32), pltpu.VMEM(tu, f32),   # tlu glu
                 pltpu.VMEM(tu, f32), pltpu.VMEM(tu, f32)]   # tuu guu
-    ab_shape = ((N, nx, nx + nu, LANES) if fuse_on else (1, 1, 1, LANES))
-    cs_shape = ((N, nx, LANES) if fuse_on else (1, 1, LANES))
+    ab_shape = ((N, nx, nx + nu, LANES) if fuse_lin_on
+                else (1, 1, 1, LANES))
+    cs_shape = ((N, nx, LANES) if fuse_lin_on else (1, 1, LANES))
     fx = ((N + 1, nx, LANES) if fuse_on else (1, 1, LANES))
     fbx = ((N, nx, LANES) if fuse_on else (1, 1, LANES))
     fbu = ((N, nu, LANES) if fuse_on else (1, 1, LANES))
@@ -1455,7 +1566,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
         return call(*args)
 
     outs = jax.lax.map(
-        one_tile, (AB, c, Qs, Qt, q, R1, r, lbx, ubx, lbu, ubu, dx0,
+        one_tile, (AB, c, Qs, Qt, q, R1, R1g, r, lbx, ubx, lbu, ubu, dx0,
                    wvalid, wslx, wsux, wllx, wlux, wslu, wsuu, wllu, wluu,
                    Zlx_in, zlx_in, Zux_in, zux_in,
                    Zlu_in, zlu_in, Zuu_in, zuu_in, xb, ub, sp,
@@ -1471,9 +1582,13 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
     dx = unprep(dx_bl)
     du = unprep(du_bl)
     diag = unprep(diag)
-    return QPSolution(dx=dx, du=du, kkt_stat=diag[:, 0], kkt_eq=diag[:, 1],
-                      mu=diag[:, 2],
-                      lam_lx=unprep(ollx), lam_ux=unprep(olux),
-                      lam_lu=unprep(ollu), lam_uu=unprep(oluu),
-                      s_lx=unprep(oslx), s_ux=unprep(osux),
-                      s_lu=unprep(oslu), s_uu=unprep(osuu))
+    sol = QPSolution(dx=dx, du=du, kkt_stat=diag[:, 0], kkt_eq=diag[:, 1],
+                     mu=diag[:, 2],
+                     lam_lx=unprep(ollx), lam_ux=unprep(olux),
+                     lam_lu=unprep(ollu), lam_uu=unprep(oluu),
+                     s_lx=unprep(oslx), s_ux=unprep(osux),
+                     s_lu=unprep(oslu), s_uu=unprep(osuu))
+    # extras = (step_norm_x, step_norm_u, bound_viol), filled only in
+    # fuse_cost mode (zeros otherwise; in that mode sol.dx/du carry the
+    # updated ABSOLUTE iterate, not deltas)
+    return sol, (diag[:, 3], diag[:, 4], diag[:, 5])

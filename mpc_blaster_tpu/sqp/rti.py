@@ -154,26 +154,50 @@ def _fused_qp_solve(spec: OCPSpec, state: RTIState, x0, params,
     model, dt, nsteps = dyn_statics
     wb = None if warm is None else jax.tree.map(lambda a: a[None], warm)
     dtw = spec.dt  # cost dt-scaling == shooting interval (build_qp)
+    Rh = qp_hessian_R(spec, solver)   # QP-only floor (gradient keeps R)
+    Rg = ((dtw * spec.R)[None]
+          if solver.qp_r_floor is not None else None)
     sol = pallas_fused_rti_solve(
         state.xbar[None], state.ubar[None], spec.stage_params[None],
         x0[None], (dtw * spec.Q)[None], spec.Q_t[None],
-        (dtw * spec.R)[None], spec.yref_x[None], spec.yref_u[None],
+        (dtw * Rh)[None], spec.yref_x[None], spec.yref_u[None],
         spec.yref_e[None], spec.lbx[None], spec.ubx[None],
         spec.lbu[None], spec.ubu[None],
         model=model, dt=dt, num_steps=nsteps,
         iters=solver.ipm_iters, mu0=solver.ipm_mu0,
         alpha_frac=solver.ipm_alpha_frac, reg=max(solver.ipm_reg, 1e-6),
-        interpret=not pallas_available(), warm=wb, soft=soft)
+        interpret=not pallas_available(), warm=wb, soft=soft, R_grad=Rg)
     return jax.tree.map(lambda a: a[0], sol)
 
 
+def qp_hessian_R(spec: OCPSpec, solver) -> jnp.ndarray:
+    """The R used for the QP's Gauss-Newton HESSIAN only (r5).
+
+    `solver.qp_r_floor` raises selected diagonal entries to a minimum —
+    proximal (Levenberg-style) damping of weakly-determined control
+    subspaces. The QP GRADIENT always keeps the true `spec.R`, so the
+    damping vanishes at convergence (du -> 0) and stationary points of
+    the reported cost are unchanged. Motivating case: the sim preset's
+    R_swivel=1e-5 leaves the gimbal's lateral blast-force channel a
+    near-free actuator, and offset-free wind compensation limit-cycles
+    through it (CLAUDE.md r4 finding); flooring the two swivel-rate
+    entries stops the hunt without touching the reported cost."""
+    if solver is None or solver.qp_r_floor is None:
+        return spec.R
+    fl = jnp.asarray(solver.qp_r_floor, spec.R.dtype)
+    d = jnp.diagonal(spec.R)
+    return spec.R + jnp.diag(jnp.maximum(fl - d, 0.0))
+
+
 def build_qp(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
-             F, params: BlasterParams, linearizer=None) -> QPData:
+             F, params: BlasterParams, linearizer=None,
+             solver=None) -> QPData:
     """Linearize dynamics + cost around the iterate -> delta-form QP.
 
     `linearizer`, when given, replaces the jacfwd `_linearize_nodes` with a
     `(xbar, ubar, stage_params) -> (x_next, A, B)` callable (the fused
-    component-form backend, `dynamics/fastlin.py`)."""
+    component-form backend, `dynamics/fastlin.py`). `solver` feeds the
+    optional QP-only Hessian floor (`qp_hessian_R`)."""
     xbar, ubar = state.xbar, state.ubar
     if linearizer is not None:
         x_pred, A, B = linearizer(xbar, ubar, spec.stage_params)
@@ -189,7 +213,8 @@ def build_qp(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     q_stage = dtw * (xbar[:-1] - spec.yref_x) @ spec.Q.T
     q_term = ((xbar[-1] - spec.yref_e) @ spec.Q_t.T)[None]
     qs = jnp.concatenate([q_stage, q_term], axis=0)
-    Rs = jnp.tile((dtw * spec.R)[None], (spec.horizon, 1, 1))
+    Rs = jnp.tile((dtw * qp_hessian_R(spec, solver))[None],
+                  (spec.horizon, 1, 1))
     rs = dtw * (ubar - spec.yref_u) @ spec.R.T
 
     return QPData(
@@ -253,7 +278,8 @@ def rti_step(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     if solver.qp_backend == "pallas_fused":
         sol = _fused_qp_solve(spec, state, x0, params, solver, dyn_statics)
     else:
-        qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
+        qp = build_qp(spec, state, x0, F, params, linearizer=linearizer,
+                      solver=solver)
         sol = solve_qp_backend(qp, solver)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
@@ -279,7 +305,7 @@ class JacCache(NamedTuple):
 
 def build_qp_jacreuse(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
                       F, params: BlasterParams, cache: JacCache,
-                      refresh, linearizer=None) -> tuple:
+                      refresh, linearizer=None, solver=None) -> tuple:
     """build_qp with optional Jacobian reuse (the reference's
     `sim_method_jac_reuse` option, JSON `sim_method_jac_reuse=[0]*60`).
 
@@ -312,7 +338,8 @@ def build_qp_jacreuse(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
     q_stage = dtw * (xbar[:-1] - spec.yref_x) @ spec.Q.T
     q_term = ((xbar[-1] - spec.yref_e) @ spec.Q_t.T)[None]
     qs = jnp.concatenate([q_stage, q_term], axis=0)
-    Rs = jnp.tile((dtw * spec.R)[None], (spec.horizon, 1, 1))
+    Rs = jnp.tile((dtw * qp_hessian_R(spec, solver))[None],
+                  (spec.horizon, 1, 1))
     rs = dtw * (ubar - spec.yref_u) @ spec.R.T
 
     qp = QPData(
@@ -329,7 +356,7 @@ def rti_step_jacreuse(spec: OCPSpec, state: RTIState, cache: JacCache,
                       solver: cfg.SolverConfig, linearizer=None):
     """RTI tick with Jacobian reuse. Returns (u0, state, cache, diag)."""
     qp, cache = build_qp_jacreuse(spec, state, x0, F, params, cache, refresh,
-                                  linearizer=linearizer)
+                                  linearizer=linearizer, solver=solver)
     sol = solve_qp_backend(qp, solver)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
@@ -366,7 +393,8 @@ def rti_step_warm(spec: OCPSpec, state: RTIState, warm, x0: jnp.ndarray,
         sol = _fused_qp_solve(spec, state, x0, params, solver, dyn_statics,
                               warm=warm)
     else:
-        qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
+        qp = build_qp(spec, state, x0, F, params, linearizer=linearizer,
+                      solver=solver)
         sol = solve_qp_backend(qp, solver, warm=warm)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
@@ -433,7 +461,8 @@ def rti_step_soft(spec: OCPSpec, state: RTIState, x0: jnp.ndarray,
         )
         return new_state.ubar[0], new_state, diag, res
 
-    qp = build_qp(spec, state, x0, F, params, linearizer=linearizer)
+    qp = build_qp(spec, state, x0, F, params, linearizer=linearizer,
+                  solver=solver)
     if solver.qp_backend == "pallas":
         from mpc_blaster_tpu.ops.pallas_ipm import (pallas_available,
                                                     pallas_box_qp_solve)
@@ -604,7 +633,8 @@ def rti_step_warm_jacreuse(spec: OCPSpec, state: RTIState, warm,
     from mpc_blaster_tpu.qp.ipm import warm_start_from, warm_start_recenter
 
     qp, cache = build_qp_jacreuse(spec, state, x0, F, params, cache,
-                                  refresh, linearizer=linearizer)
+                                  refresh, linearizer=linearizer,
+                                  solver=solver)
     sol = solve_qp_backend(qp, solver, warm=warm)
     new_state = RTIState(xbar=state.xbar + sol.dx, ubar=state.ubar + sol.du)
     diag = RTIDiagnostics(
