@@ -8,8 +8,10 @@ kernel serves every estimate).
 
 The reference flight node has no state feedback at all (it integrates its
 own model open-loop, `mavros_blaster_sim.py:109-118`); this is the
-capability gap that matters most in real wind. Measured on a v5e chip:
-0.556 ms/tick = 1797 Hz with the wind estimate recovered exactly.
+capability gap that matters most in real wind. Measured on a v5e chip
+(r4, flight preset N=20): 0.556 ms/tick = 1797 Hz with the wind estimate
+recovered exactly; bench now runs the sim preset at N=30 (see module
+comment below for the r5 horizon-stability correction).
 
 Run (CPU, ~2 min):  python examples/offset_free_demo.py
 """
@@ -33,17 +35,16 @@ from mpc_blaster_tpu.sim.scenarios import offset_free_loop
 
 
 def main():
-    # FLIGHT preset weights: offset-free compensation needs a
-    # non-degenerate gimbal weight. The sim preset's R_swivel = 1e-5
-    # leaves the gimbal's lateral blast force ~free, and wind
-    # cancellation then excites a limit cycle through that flat
-    # subspace (measured: the compensated loop hunts at +-1 m with QP
-    # eq residuals ~1e-1 while the estimate itself is EXACT). The
-    # flight preset weighs the gimbal properly (R_swivel = 10,
-    # `mavros_blaster_sim.py:45`) and the same loop converges to
-    # centimeters with eq ~1e-10. See CLAUDE.md "Numerical facts".
-    preset = cfg.flight_preset()
-    n = 20
+    # SIM preset at N=30 — inside its stable envelope. (r5 correction:
+    # the r4 claim that the sim preset's R_swivel=1e-5 makes wind
+    # compensation hunt was wrong — the hunt is a SHORT-HORIZON artifact
+    # of truncating the preset to N=20; neither raising R_swivel nor a
+    # QP-only Hessian floor fixes N=20, while N >= 24 settles to
+    # millimeters with the original weights. For genuinely short
+    # horizons use the DARE terminal cost,
+    # `ocp/terminal.py::lqr_terminal_weight`. See CLAUDE.md.)
+    preset = cfg.simulation_preset()
+    n = 30
     wind = jnp.asarray([0.7, -0.5, 0.2], jnp.float32)  # m/s^2, unseen
     x0 = jnp.zeros(cfg.NX, jnp.float32).at[2].set(3.0)
     out = {}
@@ -69,7 +70,7 @@ def main():
               f"d_est {out[name]['wind_estimate']}", flush=True)
 
     # the observer must beat the blind loop by a wide margin
-    # (measured: 0.022 m vs ~0.8 m wander)
+    # (measured: 0.005 m vs 0.231 m steady offset, sim preset N=30)
     assert out["offset_free"]["final_pos_err_m"] \
         < 0.2 * out["blind"]["final_pos_err_m"]
     print(json.dumps(out))

@@ -104,13 +104,22 @@ def offset_free_loop(spec: OCPSpec, ocp: cfg.OCPConfig, x0, wind,
     wind: (3,) constant plant wind acceleration (controller blind to it);
     derate: optional (4,) rotor effectiveness for fault recovery.
 
-    WEIGHT CAVEAT (measured r4): wind compensation needs a
-    non-degenerate gimbal weight. Under the sim preset's R_swivel=1e-5
-    the gimbal's lateral blast-force channel is a near-free actuator
-    and the compensated loop limit-cycles (+-1 m hunt, QP eq ~1e-1)
-    even with an EXACT disturbance estimate; the flight preset's
-    R_swivel=10 converges to centimeters with eq ~1e-10
-    (examples/offset_free_demo.py, CLAUDE.md numerical facts).
+    HORIZON CAVEAT (r5 correction of the r4 'gimbal weight' story): wind
+    compensation on the sim preset needs an adequate horizon. The
+    N=20-truncated sim config (0.667 s) is CLOSED-LOOP UNSTABLE under
+    compensation — a position/velocity limit cycle with the wind
+    estimate exact — and r5 measurement shows it is NOT the gimbal
+    weight: raising R_swivel to 10, flooring the QP Hessian
+    (SolverConfig.qp_r_floor), soft bounds and an LQR terminal each
+    improve but none settles it; no single sim->flight knob flips it
+    (scripts/probe_r5_gimbal_*.py, probe_r5_morph.py). Within the
+    stable envelope the loop settles to centimeters on BOTH presets:
+    N >= 24 at dt=1/30 (native N=60: 0.3 mm). At genuinely short
+    horizons (N <= 12) the DARE terminal cost restores stability
+    (`ocp/terminal.py::lqr_terminal_weight`, measured 1.6 m hunt ->
+    0.08 m settle at N=12). Transient hard-QP infeasibility (plant
+    outside the +-1 m/s velocity box on 60% of ticks) is a measured
+    co-driver at N=20 — `rti_step_soft` cuts QP eq residuals 10x there.
     """
     from mpc_blaster_tpu.sqp.rti import fused_dyn_statics, rti_step
 
