@@ -227,7 +227,8 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, R1g_ref, r_ref,
                 sigma_max: float, lam_max: float, eps_s: float,
                 stream_p: bool, stream_big: bool, chunk: int, soft: bool,
                 warm_on: bool, fuse_lin: bool = False, fuse_cost: bool = False,
-                model=None, dt_dyn: float = 0.0, nsteps: int = 1):
+                model=None, dt_dyn: float = 0.0, nsteps: int = 1,
+                mehrotra: bool = True):
     """NOTE on naming: slx_s..lam_uu_s are OUTPUT refs (warm-start outputs)
     doubling as the iterate's slack/dual state; the wslx_ref.. inputs are
     aliased onto them and must only be read before the init pass writes.
@@ -924,54 +925,76 @@ def _ipm_kernel(AB_ref, c_ref, Qs_ref, Qt_ref, q_ref, R1_ref, R1g_ref, r_ref,
         # shooting residuals.
         factorize()
 
-        # ---- predictor (affine scaling, target 0): directions land in
-        # the dedicated ddxa/ddua buffers and are recomputed per bound
-        # family on the fly wherever the Mehrotra targets need them ----
         zx = jnp.zeros((nx, Bt), f32)
         zu = jnp.zeros((nu, Bt), f32)
 
         def zero_targets(k):
             return (zx, zx, zu, zu), (zx, zx, zu, zu)
 
-        rhs_grads(zero_targets)
-        solve_rhs(ddxa_s, ddua_s)
+        if mehrotra:
+            # ---- predictor (affine scaling, target 0): directions land
+            # in the dedicated ddxa/ddua buffers and are recomputed per
+            # bound family on the fly wherever the Mehrotra targets need
+            # them ----
+            rhs_grads(zero_targets)
+            solve_rhs(ddxa_s, ddua_s)
 
-        def aff_dirs(k):
-            return all_dirs(k, zero_targets, ddxa_s, ddua_s)
+            def aff_dirs(k):
+                return all_dirs(k, zero_targets, ddxa_s, ddua_s)
 
-        a_p_aff, a_d_aff = alphas_from(zero_targets, 1.0, ddxa_s, ddua_s)
+            a_p_aff, a_d_aff = alphas_from(zero_targets, 1.0, ddxa_s,
+                                           ddua_s)
 
-        def mu_aff_sum(k, acc):
-            ap = a_p_aff[None, :]
-            ad = a_d_aff[None, :]
-            dirs = aff_dirs(k)
-            for (ds, dlam, dt, dgam), g in zip(dirs, GROUPS):
-                m = g_mask(g, k)
-                acc = acc + jnp.sum(m * (g[3][k] + ap * ds)
-                                    * (g[4][k] + ad * dlam), axis=0)
+            def mu_aff_sum(k, acc):
+                ap = a_p_aff[None, :]
+                ad = a_d_aff[None, :]
+                dirs = aff_dirs(k)
+                for (ds, dlam, dt, dgam), g in zip(dirs, GROUPS):
+                    m = g_mask(g, k)
+                    acc = acc + jnp.sum(m * (g[3][k] + ap * ds)
+                                        * (g[4][k] + ad * dlam), axis=0)
+                    if soft:
+                        sm = g_sm(g, k, m)
+                        acc = acc + jnp.sum(sm * (g[5][k] + ap * dt)
+                                            * (g[6][k] + ad * dgam),
+                                            axis=0)
+                return acc
+
+            mu_aff = jax.lax.fori_loop(0, N, mu_aff_sum,
+                                       jnp.zeros((Bt,), f32)) / n_ineq
+            sigma = jnp.clip((mu_aff / jnp.maximum(mu_cur, mu_min)) ** 3,
+                             0.0, 1.0)
+            mu_t = jnp.maximum(sigma * mu_cur, mu_min)[None, :]  # (1, B)
+
+            def clip_t(dv1, dv2):
+                return jnp.clip(mu_t - dv1 * dv2, 0.05 * mu_t,
+                                20.0 * mu_t)
+
+            def cor_targets(k):
+                dirs = aff_dirs(k)
+                Ts = tuple(clip_t(ds, dlam) for ds, dlam, _, _ in dirs)
                 if soft:
-                    sm = g_sm(g, k, m)
-                    acc = acc + jnp.sum(sm * (g[5][k] + ap * dt)
-                                        * (g[6][k] + ad * dgam), axis=0)
-            return acc
+                    Tt = tuple(clip_t(dt, dgam)
+                               for _, _, dt, dgam in dirs)
+                else:
+                    Tt = (zx, zx, zu, zu)
+                return Ts, Tt
+        else:
+            # ---- single-solve iteration (r5 roofline experiment): skip
+            # the predictor entirely — fixed centering sigma, no
+            # second-order Mehrotra correction, no Gondzio target
+            # clipping (the clip needs affine direction products). Halves
+            # the per-iteration RHS sweeps; the A/B on hardware measures
+            # what that costs in convergence (CLAUDE.md r2: plain
+            # monotone-mu IPM diverges on this problem class — this is
+            # the controlled version of that finding).
+            mu_t = jnp.maximum(0.1 * mu_cur, mu_min)[None, :]
 
-        mu_aff = jax.lax.fori_loop(0, N, mu_aff_sum,
-                                   jnp.zeros((Bt,), f32)) / n_ineq
-        sigma = jnp.clip((mu_aff / jnp.maximum(mu_cur, mu_min)) ** 3,
-                         0.0, 1.0)
-        mu_t = jnp.maximum(sigma * mu_cur, mu_min)[None, :]   # (1, B)
-
-        def clip_t(dv1, dv2):
-            return jnp.clip(mu_t - dv1 * dv2, 0.05 * mu_t, 20.0 * mu_t)
-
-        def cor_targets(k):
-            dirs = aff_dirs(k)
-            Ts = tuple(clip_t(ds, dlam) for ds, dlam, _, _ in dirs)
-            if soft:
-                Tt = tuple(clip_t(dt, dgam) for _, _, dt, dgam in dirs)
-            else:
-                Tt = (zx, zx, zu, zu)
-            return Ts, Tt
+            def cor_targets(k):
+                Ts = (mu_t, mu_t, mu_t, mu_t)
+                Tt = (mu_t, mu_t, mu_t, mu_t) if soft \
+                    else (zx, zx, zu, zu)
+                return Ts, Tt
 
         # ---- corrector ----
         rhs_grads(cor_targets)
@@ -1059,7 +1082,8 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                         interpret: bool = False,
                         stream_p: bool | None = None,
                         stream_big: bool | None = None,
-                        warm=None, soft=None) -> QPSolution:
+                        warm=None, soft=None,
+                        mehrotra: bool = True) -> QPSolution:
     """Batched QP solve. `data` fields carry a LEADING batch axis (B, ...).
 
     Requirements (the RTI/LINEAR_LS structure): stage cost Hessians
@@ -1119,7 +1143,8 @@ def pallas_box_qp_solve(data: QPData, iters: int = 12, mu0: float = 1e-1,
                                   mu0=mu0,
                                   alpha_frac=alpha_frac, reg=reg,
                                   interpret=interpret, stream_p=stream_p,
-                                  stream_big=stream_big)
+                                  stream_big=stream_big,
+                                  mehrotra=mehrotra)
     return sol
 
 
@@ -1237,7 +1262,7 @@ def pallas_batched_fused_tick(AB, c, xbar, ubar, x0, Q, Q_t, R,
 @functools.partial(jax.jit, static_argnames=("iters", "mu0", "alpha_frac",
                                              "reg", "interpret", "stream_p",
                                              "stream_big", "model",
-                                             "dt_dyn", "nsteps"))
+                                             "dt_dyn", "nsteps", "mehrotra"))
 def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
                          mu0: float,
                          alpha_frac: float, reg: float,
@@ -1245,7 +1270,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
                          stream_big: bool | None, model=None,
                          dt_dyn: float = 0.0,
                          nsteps: int = 1, fuse_ab=None,
-                         R_grad=None) -> QPSolution:
+                         R_grad=None, mehrotra: bool = True) -> QPSolution:
     # Three modes (trace-time):
     #   plain        — data is a QPData, everything host-assembled;
     #   fuse_lin     — fuse tuple only: B=1 single-kernel tick, in-kernel
@@ -1465,7 +1490,7 @@ def _pallas_box_qp_solve(data: QPData, warm, soft, fuse, iters: int,
         stream_p=stream_p, stream_big=stream_big, chunk=chunk,
         soft=soft_on, warm_on=warm_on, fuse_lin=fuse_lin_on,
         fuse_cost=fuse_cost_on, model=model,
-        dt_dyn=dt_dyn, nsteps=nsteps)
+        dt_dyn=dt_dyn, nsteps=nsteps, mehrotra=mehrotra)
 
     def vspec():
         return pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -86,6 +86,24 @@ def poc_jacobians(euler: jnp.ndarray, alpha: jnp.ndarray,
     return j_mot, j_eul, j_pos
 
 
+def poc_value_and_jacobians(euler: jnp.ndarray, alpha: jnp.ndarray,
+                            position: jnp.ndarray,
+                            stream_velocity: float = 150.0,
+                            drag: float = 1.0, iters: int = 12,
+                            convention: str = "htm"):
+    """(poc (3,), J_mot, J_eul, J_pos) in ONE forward pass (r5): the
+    anchored-stagewise tracking mode needs the POC VALUE at each
+    predicted pose alongside its Jacobians — `has_aux` rides the primal
+    out of the same jacfwd trace instead of a second Newton solve."""
+    def f(e, a, p):
+        poc = _poc_only(e, a, p, stream_velocity, drag, iters, convention)
+        return poc, poc
+
+    jac = jax.jacfwd(f, argnums=(1, 0, 2), has_aux=True)
+    (j_mot, j_eul, j_pos), poc = jac(euler, alpha, position)
+    return poc, j_mot, j_eul, j_pos
+
+
 def poc_jacobians_fd(euler, alpha, position, stream_velocity=150.0, drag=1.0,
                      iters: int = 12, convention: str = "htm", eps: float = 1e-6):
     """Reference-parity finite differences (forward, eps=1e-6

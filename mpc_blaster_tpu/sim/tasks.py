@@ -92,9 +92,10 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
     dyn = (fused_dyn_statics(ocp, 1)
            if solver.qp_backend == "pallas_fused" else None)
 
-    if poc_mode in ("online", "online_stagewise"):
+    if poc_mode in ("online", "online_stagewise", "stagewise_anchored"):
         from mpc_blaster_tpu.dynamics.blaster import pack_stage_params
-        from mpc_blaster_tpu.poc.solver import poc_jacobians
+        from mpc_blaster_tpu.poc.solver import (poc_jacobians,
+                                                poc_value_and_jacobians)
 
         def _params_at(x, t_blast):
             j_mot, j_eul, j_pos = poc_jacobians(
@@ -103,18 +104,55 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
             return pack_stage_params(j_mot, j_eul, j_pos,
                                      t_blast).astype(dtype)
 
+        def _params_and_poc_at(x, t_blast):
+            poc, j_mot, j_eul, j_pos = poc_value_and_jacobians(
+                x[3:6], x[12:14], x[0:3], pc.stream_velocity, pc.drag,
+                pc.newton_iters)
+            return (pack_stage_params(j_mot, j_eul, j_pos,
+                                      t_blast).astype(dtype),
+                    poc.astype(dtype))
+
         if poc_mode == "online":
-            def stage_params_for(spec, x, state):
+            def relinearize(spec, x, state):
                 p = _params_at(x, spec.stage_params[0, -1])
-                return jnp.tile(p[None], (N, 1))
-        else:
-            def stage_params_for(spec, x, state):
+                return jnp.tile(p[None], (N, 1)), state
+        elif poc_mode == "online_stagewise":
+            def relinearize(spec, x, state):
                 # stage k linearized at its PREDICTED pose xbar[k]
                 return jax.vmap(_params_at, in_axes=(0, None))(
+                    state.xbar[:-1], spec.stage_params[0, -1]), state
+        else:
+            # stagewise_anchored (r5): per-stage Jacobians AND the
+            # iterate's POC rows re-anchored to the EXACT jet impact
+            # point at each predicted pose. The POC "state" is redundant
+            # (an algebraic function of pose); linear propagation drifts
+            # O(dpose^2) from the true map across the horizon, so the QP
+            # was optimizing the wrong poc positions on aggressive
+            # sweeps. Re-anchoring projects the redundant coordinate
+            # back onto the jet manifold every tick — the defects then
+            # vanish to first order around TRUE poc values and the cost
+            # acts on the real washing error. Same per-stage jet solves
+            # as online_stagewise (the value rides the jacfwd trace via
+            # has_aux — no extra Newton solves).
+            def relinearize(spec, x, state):
+                ps, pocs = jax.vmap(_params_and_poc_at,
+                                    in_axes=(0, None))(
                     state.xbar[:-1], spec.stage_params[0, -1])
+                from mpc_blaster_tpu.poc.solver import solve_poc
+                pocN, _ = solve_poc(state.xbar[-1, 3:6],
+                                    state.xbar[-1, 12:14],
+                                    state.xbar[-1, 0:3],
+                                    pc.stream_velocity, pc.drag,
+                                    pc.newton_iters)
+                xbar = state.xbar.at[:-1, 14:17].set(pocs)
+                xbar = xbar.at[-1, 14:17].set(pocN.astype(dtype))
+                # row 0 must stay the MEASURED state: the x0 pin works on
+                # xbar[0] and the plant's exact POC is the measurement
+                xbar = xbar.at[0, 14:17].set(state.xbar[0, 14:17])
+                return ps, state._replace(xbar=xbar)
     elif poc_mode == "frozen":
-        def stage_params_for(spec, x, state):
-            return spec.stage_params
+        def relinearize(spec, x, state):
+            return spec.stage_params, state
     else:
         raise ValueError(f"unknown poc_mode {poc_mode!r}")
 
@@ -143,9 +181,10 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
         def window_spec(i, x, state):
             window = jax.lax.dynamic_slice(
                 ref_traj, (i + 1, 0), (N, cfg.NX))
+            stage_params, state = relinearize(spec, x, state)
             return spec._replace(
                 yref_x=window, yref_e=window[-1],
-                stage_params=stage_params_for(spec, x, state)), window
+                stage_params=stage_params), window, state
 
         if warm_start:
             from mpc_blaster_tpu.qp.ipm import IpmWarmStart
@@ -155,7 +194,7 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
 
             def tick(carry, i):
                 state, warm, x = carry
-                spec_i, window = window_spec(i, x, state)
+                spec_i, window, state = window_spec(i, x, state)
                 u0, state_new, warm_new, diag = rti_step_warm(
                     spec_i, state, warm, x, params, F, solver,
                     linearizer=lin, dyn_statics=dyn)
@@ -169,7 +208,7 @@ def make_tracking_loop(ocp: cfg.OCPConfig, n_steps: int, dtype=jnp.float32,
         else:
             def tick(carry, i):
                 state, x = carry
-                spec_i, window = window_spec(i, x, state)
+                spec_i, window, state = window_spec(i, x, state)
                 u0, state_new, diag = rti_step(spec_i, state, x, params, F,
                                                solver, linearizer=lin,
                                                dyn_statics=dyn)
@@ -236,7 +275,8 @@ def blast_scan_refs(n_points: int, dt: float,
                     center=(-0.6, 0.0), amp_x: float = 0.7,
                     amp_y: float = 0.3, period_s: float = 40.0,
                     hover=(0.0, 0.0, 3.5), z_end: Optional[float] = None,
-                    t_ramp_s: float = 6.0) -> np.ndarray:
+                    t_ramp_s: float = 6.0,
+                    carry_frac: float = 0.0) -> np.ndarray:
     """(n_points, nx) refs: hover in place, sweep the jet's point of
     contact along a ground lemniscate (a raster "washing" pattern).
 
@@ -249,6 +289,20 @@ def blast_scan_refs(n_points: int, dt: float,
     z_end (optional): ramp the hover altitude from hover[2] to z_end over
     t_ramp_s (descend-while-washing — the approach maneuver that makes any
     frozen POC linearization stale: dPOC/d(alpha, euler) scales ~z).
+
+    carry_frac (r5): CO-MOVING hover reference — the position reference
+    (plus a matching velocity feedforward) follows carry_frac of the POC
+    sweep's deviation from its center, so the VEHICLE carries the
+    low-frequency raster and the gimbal only the remainder. Why: on
+    aggressive scans at low altitude the +-0.0872 rad/s gimbal-rate box
+    cannot follow the commanded POC speed alone, and the fixed hover
+    reference (position weight == POC weight, 1e3) charges the optimizer
+    for exactly the translation that would help — the 0.14 m r4 plateau
+    was this POSED-PROBLEM trade-off, not linearization error (measured:
+    per-stage re-anchoring to the exact jet map changed nothing, while
+    carry_frac=0.6 took the aggressive scan 0.140 -> 0.023 m. On gentle
+    scans the gimbal alone is cheaper: 0.005 -> 0.016 m, so carry stays
+    off there — `select_carry_frac`).
     """
     t = np.arange(n_points) * dt
     w = 2.0 * np.pi / period_s
@@ -262,6 +316,11 @@ def blast_scan_refs(n_points: int, dt: float,
         refs[:, 8] = np.where(frac < 1.0, (z_end - hover[2]) / t_ramp_s, 0.0)
     refs[:, 14] = center[0] + amp_x * np.sin(w * t)
     refs[:, 15] = center[1] + amp_y * np.sin(2.0 * w * t)
+    if carry_frac:
+        dev = refs[:, 14:16] - np.asarray(center)[None]
+        refs[:, 0:2] += carry_frac * dev
+        refs[:-1, 6:8] += carry_frac * np.diff(refs[:, 14:16],
+                                               axis=0) / dt
     return refs
 
 
@@ -301,6 +360,23 @@ def select_poc_mode(amp_x: float = 0.7, amp_y: float = 0.3,
     return "online_stagewise" if rate > 0.8 else "frozen"
 
 
+def select_carry_frac(amp_x: float = 0.7, amp_y: float = 0.3,
+                      period_s: float = 40.0, hover=(0.0, 0.0, 3.5),
+                      z_end: Optional[float] = None,
+                      t_ramp_s: float = 6.0, **_ignored) -> float:
+    """Co-moving-reference decision (r5): same staleness-rate
+    discriminant as `select_poc_mode`. Fast sweeps exceed the gimbal's
+    rate authority, so the vehicle should carry part of the raster
+    (carry_frac=0.6 measured best on the aggressive bench profile:
+    0.140 -> 0.023 m; 1.0 over-drives the vehicle, 0.084 m); gentle
+    sweeps are cheaper on the gimbal alone (carry hurts: 0.005 ->
+    0.016 m) so carry stays off below the same 0.8 m/s threshold."""
+    w = 2.0 * np.pi / period_s
+    descent = 0.0 if z_end is None else abs(hover[2] - z_end) / t_ramp_s
+    rate = w * (amp_x + 2.0 * amp_y) + descent
+    return 0.6 if rate > 0.8 else 0.0
+
+
 def run_blast_scan(preset: Optional[cfg.Preset] = None, n_steps: int = 240,
                    dtype=jnp.float32, poc_mode: str = "auto",
                    plant_poc: str = "exact", frozen_at: str = "hover",
@@ -331,6 +407,11 @@ def run_blast_scan(preset: Optional[cfg.Preset] = None, n_steps: int = 240,
 
     if poc_mode == "auto":
         poc_mode = select_poc_mode(**scan_kwargs)
+    if scan_kwargs.get("carry_frac") == "auto":
+        scan_kwargs = dict(scan_kwargs,
+                           carry_frac=select_carry_frac(**{
+                               k: v for k, v in scan_kwargs.items()
+                               if k != "carry_frac"}))
     preset = preset or cfg.simulation_preset()
     ocp = preset.ocp
     hover = scan_kwargs.get("hover", (0.0, 0.0, 3.5))

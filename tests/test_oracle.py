@@ -222,6 +222,150 @@ def test_oracle_closed_loop():
     np.testing.assert_allclose(xs_rti[:, 0:9], xs_orc[:, 0:9], atol=1e-3)
 
 
+@pytest.mark.slow
+def test_oracle_flagship_n60_poc_params():
+    """(e, r5) THE FLAGSHIP CONFIG: native N=60 simulation preset with
+    NONZERO POC stage parameters (the jet solver's Jacobians, exactly
+    what `simulation_blaster.py:37-39,67` feeds acados). Converged SQP
+    vs independent SLSQP: thrusts <= 2e-3 (SLSQP's own accuracy at
+    ftol=1e-12 on the 360-variable problem; measured 1.25e-3), objective
+    to 1e-6 relative."""
+    from mpc_blaster_tpu.sim.closedloop import preset_stage_params
+
+    preset = cfg.simulation_preset()
+    ocp = preset.ocp  # native N=60, Tf=2.0
+    sp = preset_stage_params(preset, DTYPE)
+    spec = build_spec(ocp, yref=preset.loop.yref, stage_params=sp,
+                      dtype=DTYPE)
+    # the POC coupling must actually be exercised
+    assert float(jnp.abs(spec.stage_params[0, :24]).max()) > 0.0
+    params = BlasterParams.from_config(ocp.model, DTYPE)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    x0 = jnp.zeros(cfg.NX, DTYPE).at[0].set(0.1).at[2].set(3.3)
+    state = init_rti_state(ocp, x0, DTYPE)
+    state, step_norms = sqp_solve(spec, state, x0, params, F, ocp.solver,
+                                  iters=30)
+    assert np.asarray(step_norms)[-1] < 1e-5
+
+    global N
+    N_saved, N = N, ocp.N
+    try:
+        xs_o, us_o, f_o = _oracle_solve(spec, params, F, x0, state.ubar)
+    finally:
+        N = N_saved
+    np.testing.assert_allclose(np.asarray(state.ubar)[:, :4],
+                               np.asarray(us_o)[:, :4], atol=2e-3)
+    f_rti = float(total_cost(spec, state.xbar, state.ubar))
+    assert abs(f_rti - f_o) <= 1e-6 * max(1.0, abs(f_o)), (f_rti, f_o)
+
+
+@pytest.mark.slow
+def test_oracle_soft_bounds():
+    """(f, r5) SOFT bounds (acados ns>0): velocity box tightened to
+    +-0.25 so the optimum VIOLATES it, softened with a pure-L2 penalty
+    (Z=1e3). The rti_step_soft fixed point must match SLSQP on the
+    penalized NLP (soft rows removed from the hard constraints, their
+    quadratic penalty added to the objective) from an INDEPENDENT
+    perturbed start. Measured: fixed-point eq ~4e-31, viol 0.17 (soft
+    genuinely active), SLSQP nit ~99, control diff 9.4e-5."""
+    from mpc_blaster_tpu.qp.soft import SoftBounds
+    from mpc_blaster_tpu.sqp.rti import rti_step_soft
+
+    preset = cfg.simulation_preset()
+    b = preset.ocp.bounds
+    tight = dataclasses.replace(
+        b, lbx=b.lbx[:6] + (-0.25, -0.25, -0.25) + b.lbx[9:],
+        ubx=b.ubx[:6] + (0.25, 0.25, 0.25) + b.ubx[9:])
+    r = list(preset.ocp.cost.r_diag)
+    r[4] = r[5] = 1e-1  # well-posed gimbal (same convention as (b))
+    ocp = dataclasses.replace(
+        preset.ocp, N=N, Tf=N / 30.0, bounds=tight,
+        cost=dataclasses.replace(preset.ocp.cost, r_diag=tuple(r)),
+        solver=dataclasses.replace(preset.ocp.solver, ipm_iters=25))
+    spec = build_spec(ocp, yref=preset.loop.yref, dtype=DTYPE)
+    params = BlasterParams.from_config(ocp.model, DTYPE)
+    F = discrete_dynamics(blaster_ode, ocp.dt, num_steps=1)
+    x0 = jnp.zeros(cfg.NX, DTYPE).at[2].set(2.9)
+    Z = 1e3
+    soft = SoftBounds.state_bounds(N, cfg.NX, cfg.NU, Zl=Z, zl=0.0,
+                                   idx=[6, 7, 8], dtype=DTYPE)
+
+    @jax.jit
+    def fixed_point(st):
+        def body(st, _):
+            _, st, _, _ = rti_step_soft(spec, st, x0, params, F,
+                                        ocp.solver, soft)
+            return st, 0
+        st, _ = jax.lax.scan(body, st, None, length=60)
+        return st
+
+    st = fixed_point(init_rti_state(ocp, x0, DTYPE))
+    _, st, diag, res = rti_step_soft(spec, st, x0, params, F, ocp.solver,
+                                     soft)
+    assert float(diag.qp_kkt_eq) < 1e-8
+    viol = float(np.asarray(res.t_lx).max() + np.asarray(res.t_ux).max())
+    assert viol > 0.05, "soft bounds not active; scenario vacuous"
+
+    def penalty(xs, us):
+        v = xs[1:, 6:9]
+        lo = jnp.maximum(spec.lbx[6:9] - v, 0.0)
+        hi = jnp.maximum(v - spec.ubx[6:9], 0.0)
+        return 0.5 * Z * (jnp.sum(lo ** 2) + jnp.sum(hi ** 2))
+
+    # independent start: hover init + deterministic perturbation
+    rng = np.random.default_rng(3)
+    u_init = (np.asarray(init_rti_state(ocp, x0, DTYPE).ubar)
+              + rng.uniform(-0.5, 0.5, (N, cfg.NU)))
+    us_o, f_o = _oracle_soft_solve(spec, params, F, x0, u_init,
+                                   penalty, soft_rows=(6, 7, 8))
+    np.testing.assert_allclose(np.asarray(st.ubar), np.asarray(us_o),
+                               atol=1e-3)
+
+
+def _oracle_soft_solve(spec, params, F, x0, u_init, penalty, soft_rows):
+    """SLSQP on the PENALIZED single-shooting NLP: soft rows leave the
+    hard constraint set and enter the objective as their L2 penalty."""
+    nu = cfg.NU
+
+    def cost(u_flat):
+        us = u_flat.reshape(N, nu)
+        xs = _rollout(spec, params, F, x0, us)
+        return total_cost(spec, xs, us) + penalty(xs, us)
+
+    vg = jax.jit(jax.value_and_grad(cost))
+
+    def fun(u_flat):
+        v, g = vg(jnp.asarray(u_flat))
+        return float(v), np.asarray(g)
+
+    hard = np.array([i for i in range(cfg.NX) if i not in set(soft_rows)])
+
+    def _cons(u_flat):
+        xs = _rollout(spec, params, F, x0, u_flat.reshape(N, nu))[1:]
+        xs = xs[:, hard]
+        return jnp.concatenate([(xs - spec.lbx[hard]).ravel(),
+                                (spec.ubx[hard] - xs).ravel()])
+
+    cons_jit = jax.jit(_cons)
+    cons_jac = jax.jit(jax.jacfwd(_cons))
+    constraints = [{
+        "type": "ineq",
+        "fun": lambda u: np.asarray(cons_jit(jnp.asarray(u))),
+        "jac": lambda u: np.asarray(cons_jac(jnp.asarray(u))),
+    }]
+    bounds = [(float(spec.lbu[i]), float(spec.ubu[i]))
+              for _ in range(N) for i in range(cfg.NU)]
+    u0_flat = np.asarray(u_init).ravel()
+    fun(u0_flat)
+    constraints[0]["fun"](u0_flat)
+    constraints[0]["jac"](u0_flat)
+    res = minimize(fun, u0_flat, jac=True, method="SLSQP", bounds=bounds,
+                   constraints=constraints,
+                   options={"maxiter": 400, "ftol": 1e-12})
+    assert res.success, res.message
+    return jnp.asarray(res.x.reshape(N, cfg.NU), DTYPE), res.fun
+
+
 def test_rti_step_is_one_exact_gauss_newton_step():
     """Pin the acados SQP-RTI single-iteration semantics EXPLICITLY
     (`blastermodel.py:278`, `nlp_solver_step_length=1.0`): one rti_step

@@ -146,3 +146,59 @@ def test_poc_mode_selector_picks_measured_winners():
     # extra kwargs from run_blast_scan's scan_kwargs are tolerated
     assert select_poc_mode(center=(-0.6, 0.0), hover=(0.0, 0.0, 3.5),
                            z_end=1.5, t_ramp_s=6.0) == "frozen"
+
+
+def test_carry_frac_selector_and_refs():
+    """r5: the co-moving-reference decision rule + feedforward geometry.
+    Measured calibration (scripts/probe_r5_blast_carry.py, aggressive
+    bench profile): carry 0.0 -> 0.140 m, 0.3 -> 0.039, 0.6 -> 0.023
+    (best), 1.0 -> 0.084 (over-driven); gentle profile: carry 0.6 HURTS
+    (0.005 -> 0.016) so it stays off below the 0.8 m/s staleness rate."""
+    from mpc_blaster_tpu.sim.tasks import (blast_scan_refs,
+                                           select_carry_frac)
+
+    assert select_carry_frac(z_end=1.5, t_ramp_s=6.0) == 0.0
+    assert select_carry_frac(z_end=1.2, t_ramp_s=4.0, amp_x=1.1,
+                             amp_y=0.45, period_s=24.0) == 0.6
+
+    dt = 1.0 / 30.0
+    kw = dict(amp_x=1.1, amp_y=0.45, period_s=24.0, z_end=1.2,
+              t_ramp_s=4.0)
+    r0 = blast_scan_refs(200, dt, **kw)
+    rc = blast_scan_refs(200, dt, carry_frac=0.6, **kw)
+    # position ref follows 0.6x the poc deviation from its center
+    dev = r0[:, 14:16] - np.array([-0.6, 0.0])[None]
+    np.testing.assert_allclose(rc[:, 0:2] - r0[:, 0:2], 0.6 * dev,
+                               atol=1e-9)
+    # velocity feedforward is the time derivative of the added motion
+    np.testing.assert_allclose(
+        rc[:-1, 6:8] - r0[:-1, 6:8],
+        0.6 * np.diff(r0[:, 14:16], axis=0) / dt, atol=1e-6)
+    # poc refs and altitude untouched
+    np.testing.assert_array_equal(rc[:, 14:17], r0[:, 14:17])
+    np.testing.assert_array_equal(rc[:, 2], r0[:, 2])
+
+
+@pytest.mark.slow
+def test_carry_improves_aggressive_scan():
+    """r5 headline A/B at reduced length: the co-moving reference must
+    beat the fixed hover reference by >=2x true-POC error on the
+    aggressive profile (full-length measured: 6x, 0.140 -> 0.023)."""
+    from mpc_blaster_tpu.poc.solver import true_poc_traj
+    from mpc_blaster_tpu.sim.tasks import run_blast_scan
+
+    kw = dict(n_steps=150, dtype=jnp.float32, z_end=1.2, t_ramp_s=4.0,
+              amp_x=1.1, amp_y=0.45, period_s=24.0,
+              frozen_at="canonical")
+
+    def err(carry):
+        res = run_blast_scan(poc_mode="online_stagewise",
+                             plant_poc="exact", carry_frac=carry, **kw)
+        tp = np.asarray(true_poc_traj(res.xs))
+        refs_b = np.asarray(res.refs)
+        terr = np.linalg.norm(tp[1:, 0:2] - refs_b[:, 14:16], axis=1)
+        return terr[60:].mean()
+
+    e0, ec = err(0.0), err(0.6)
+    assert ec < 0.5 * e0, (e0, ec)
+    assert ec < 0.08, ec
