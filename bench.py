@@ -189,6 +189,22 @@ def main():
         except Exception as e:
             out["batched_rt6f_solves_per_s"] = 0.0
             out["batched_rt6f_error"] = err_s(e)
+        # r5: the rt4 budget batched — 4 IPM iterations is a deployed,
+        # quality-VALIDATED profile (deployed_solver("fast"): B=1 fig8
+        # 0.0387 == the 12-iteration baseline, altitude-stress clean),
+        # so its batched throughput is a legitimate headline row, not a
+        # quality cut
+        try:
+            log("bench: batched N=20 pallas_fused rt4 (B=1024, K=10)")
+            ocp_b4 = dataclasses.replace(
+                ocp, solver=dataclasses.replace(ocp.solver, ipm_iters=4))
+            out["batched_rt4f_solves_per_s"] = round(
+                batched_rate(ocp_b4, spec, 1024, 10, "pallas_fused"), 1)
+            log(f"bench: batched rt4f = "
+                f"{out['batched_rt4f_solves_per_s']}")
+        except Exception as e:
+            out["batched_rt4f_solves_per_s"] = 0.0
+            out["batched_rt4f_error"] = err_s(e)
 
     # BASELINE config 4: 4096 disturbance draws
     try:
