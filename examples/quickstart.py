@@ -60,7 +60,7 @@ def main():
     # 6. Beyond reference: offset-free MPC (disturbance observer) — the
     # same sweep with the velocity-residual observer feeding the
     # prediction model: every scenario settles to mm level.
-    sweep_of = disturbance_sweep(spec, preset.ocp, scen, n_steps=100,
+    sweep_of = disturbance_sweep(spec, preset.ocp, scen, n_steps=150,
                                  offset_free=True)
     print("wind sweep (offset-free): %d/%d settled, max err %.3f m"
           % (int(np.sum(np.asarray(sweep_of.settled))), 8,
