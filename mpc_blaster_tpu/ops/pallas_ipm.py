@@ -54,6 +54,18 @@ f32 floors, equilibrated fail-safe Cholesky, best-iterate on dx/du —
 tracked directly in the dx/du OUTPUT refs). Infinite bounds are masked
 exactly like the XLA path; SOFT bounds (acados ns>0) run in-kernel via
 the qp/soft.py stage-wise elimination (see `_ipm_kernel` docstring).
+
+Fusion modes (trace-time static flags):
+  - plain: host-assembled QPData in, deltas out (`pallas_box_qp_solve`);
+  - fuse_lin (r3, B=1): in-kernel RK4 linearization + cost/bounds/dx0
+    assembly — the single-kernel RTI tick (`pallas_fused_rti_solve`);
+  - fuse_cost (r5, any B): host linearization, in-kernel
+    cost/bounds/dx0 assembly AND iterate update — the batched
+    fused-assembly tick (`pallas_batched_fused_tick`); outputs are the
+    updated ABSOLUTE iterate plus step-norm/violation diag rows.
+`mehrotra=False` (r5) compiles single-solve iterations (no predictor):
+a measured NEGATIVE kept for the record — 1.4x cheaper per iteration,
+stalls at merit ~6.8 vs 2.8e-2 (docs/DESIGN.md §7 r5b); leave True.
 One deliberate difference: the returned slacks/duals (and therefore the
 warm-start output) are the LAST iterate's, not the best-KKT iterate's —
 an interior warm start wants the most centered point, and it saves 8
