@@ -374,5 +374,7 @@ def test_endurance_mission_smoke():
     assert r["rx_total"] > 300
     assert np.isfinite(r["errs"]).all()
     assert r["veh"]["rate"]["ticks"] == 600
-    assert r["ctrl"]["worst_work_s"] < 0.090
+    # machinery check only: looser work bound than the 60 s test (the
+    # smoke run often lands mid-suite under full CPU load)
+    assert r["ctrl"]["worst_work_s"] < 0.150
     assert np.isfinite(r["veh"]["final_p"]).all()
